@@ -1,0 +1,75 @@
+"""Stacking ensemble: N ViT backbones + Linear meta-classifier.
+
+Capability-equivalent to the reference's `TransformerEnsemble`
+(`models/modeling.py:347-356`): per-backbone CLS logits are concatenated and
+fed to a Linear(N, 1) + sigmoid meta-classifier.
+
+NOTE on reference defect D6 (SURVEY.md): the reference's default
+`in_features=3` builds Linear(9, 1) which crashes on the (B, 3) concat; the
+working/intended head is Linear(N * num_classes, 1), which is what this
+module builds.
+
+Two execution modes (the reference only has the first):
+  * end-to-end — backbones are live submodules and receive gradients, like
+    the reference's non-frozen `Adam(ensemble.parameters())`
+    (`train_ensemble_cv.py:82-83`).
+  * frozen-logit — the sweep engine precomputes all 18 baselines' logits for
+    the whole dataset in one batched forward, then trains only the meta
+    head over all C(18,3)=816 combinations as a single vmapped program
+    (`sweep/ensemble_sweep.py`).  This module's `MetaHead` is that head.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vit3d_ensemble_tpu.configs import ViTConfig
+from vit3d_ensemble_tpu.models.vit3d import (
+    VisionTransformer3D,
+    torch_linear_bias_init,
+    torch_linear_kernel_init,
+)
+
+
+class MetaHead(nn.Module):
+    """Linear(N, 1) + sigmoid meta-classifier (`modeling.py:351,356`)."""
+
+    n_members: int = 3
+    n_classes: int = 1
+
+    @nn.compact
+    def __call__(self, member_logits: jax.Array) -> jax.Array:
+        # member_logits: (B, N * num_classes)
+        fan_in = member_logits.shape[-1]
+        out = nn.Dense(
+            self.n_classes,
+            kernel_init=torch_linear_kernel_init,
+            bias_init=torch_linear_bias_init(fan_in),
+            name="classifier",
+        )(member_logits)
+        return jax.nn.sigmoid(out)
+
+
+class TransformerEnsemble(nn.Module):
+    """End-to-end stacking ensemble over heterogeneous ViT configs."""
+
+    configs: Tuple[ViTConfig, ...]
+    zero_head: bool = True
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True) -> jax.Array:
+        member_logits = []
+        for i, cfg in enumerate(self.configs):
+            out = VisionTransformer3D(
+                cfg, zero_head=self.zero_head, vis=False,
+                name=f"transformer_{i}",
+            )(x, deterministic=deterministic)
+            member_logits.append(out.logits)
+        concat = jnp.concatenate(member_logits, axis=-1)   # (B, N*C)
+        return MetaHead(
+            n_members=len(self.configs), name="meta",
+        )(concat)

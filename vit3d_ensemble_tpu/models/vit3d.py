@@ -1,0 +1,326 @@
+"""3D Vision Transformer, TPU-native Flax implementation.
+
+Capability-equivalent to the reference's `models/modeling.py:55-344`
+(Attention / Mlp / Embeddings / Block / Encoder / VisionTransformer), with a
+TPU-first structure instead of a torch translation:
+
+  * Native layout is channels-last (B, H, W, Z, C) — XLA:TPU's preferred conv
+    layout (the reference uses torch's (B, C, H, W, Z), `create_dataset.py:80`).
+  * The encoder is a single `nn.scan` over stacked per-layer parameters
+    instead of a Python list of L modules (`modeling.py:237-254`): one
+    compiled matmul chain regardless of depth, and the per-layer parameter
+    stack gives the sweep engine a leading axis to vmap/shard over.
+  * Depth and MLP width are *runtime capacities*: `num_layers_active` masks
+    trailing scan steps to exact identity and `mlp_active` masks trailing FFN
+    columns to exact zero.  This lets every config that shares
+    (hidden_size, num_heads) run in ONE compiled program — the 18-config
+    README grid becomes 3 programs x vmap(6) (SURVEY.md §7 step 4).
+  * Attention math lives in `ops.attention` so the fused Pallas kernel can be
+    swapped in without touching the module.
+
+Math contract (verified against the reference by logit-parity tests):
+  pre-LN blocks, LN eps 1e-6, GELU MLP, learned (1, 65, D) pos-emb, CLS token,
+  Conv3D patchify kernel=stride=(16,16,5), head = Linear(D, 1) on CLS
+  (`modeling.py:127-175,178-197,269-288`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vit3d_ensemble_tpu.configs import ViTConfig
+from vit3d_ensemble_tpu.ops.attention import dot_product_attention
+
+# ---------------------------------------------------------------------------
+# Initializers matching torch semantics (for training-distribution parity).
+# ---------------------------------------------------------------------------
+
+
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    """torch.nn.Linear default: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)).
+
+    flax Dense kernels are (fan_in, fan_out).
+    """
+    fan_in = shape[0]
+    bound = 1.0 / jnp.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_linear_bias_init(fan_in: int):
+    bound = 1.0 / float(fan_in) ** 0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """torch.nn.Conv3d default init; flax conv kernels are (*k, in, out)."""
+    receptive = 1
+    for s in shape[:-2]:
+        receptive *= s
+    fan_in = shape[-2] * receptive
+    bound = 1.0 / jnp.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def mlp_bias_init(key, shape, dtype=jnp.float32):
+    """Reference Mlp bias init: normal(std=1e-6) (`modeling.py:115-116`)."""
+    return jax.random.normal(key, shape, dtype) * 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Modules
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ViTOutput:
+    """Forward results, mirroring the reference's no-label return triple
+    (`modeling.py:287-288`): logits, per-layer attention maps, encoded tokens.
+    """
+
+    logits: jax.Array                    # (B, num_classes)
+    attn_weights: Optional[jax.Array]    # (L, B, heads, T, T) or None
+    tokens: jax.Array                    # (B, T, D) post final LayerNorm
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention (`modeling.py:55-99`)."""
+
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool, return_probs: bool):
+        cfg = self.config
+        D, H = cfg.hidden_size, cfg.num_heads
+        head_dim = D // H
+        dense = lambda name: nn.DenseGeneral(  # noqa: E731
+            features=(H, head_dim),
+            axis=-1,
+            kernel_init=torch_linear_kernel_init,
+            bias_init=torch_linear_bias_init(D),
+            name=name,
+        )
+        # (B, T, D) -> (B, T, H, hd) -> (B, H, T, hd)
+        q = dense("query")(x).transpose(0, 2, 1, 3)
+        k = dense("key")(x).transpose(0, 2, 1, 3)
+        v = dense("value")(x).transpose(0, 2, 1, 3)
+
+        drop_rate = cfg.attention_dropout_rate
+        rng = None
+        if drop_rate > 0.0 and not deterministic:
+            rng = self.make_rng("dropout")
+        context, probs = dot_product_attention(
+            q, k, v,
+            dropout_rng=rng,
+            dropout_rate=drop_rate,
+            deterministic=deterministic,
+            return_probs=return_probs,
+        )
+        context = context.transpose(0, 2, 1, 3).reshape(x.shape[:-1] + (D,))
+        out = nn.Dense(
+            D,
+            kernel_init=torch_linear_kernel_init,
+            bias_init=torch_linear_bias_init(D),
+            name="out",
+        )(context)
+        out = nn.Dropout(rate=drop_rate)(out, deterministic=deterministic)
+        return out, probs
+
+
+class Mlp(nn.Module):
+    """GELU MLP with the reference's extreme d >> D widths (`modeling.py:102-124`).
+
+    `mlp_active` masks trailing hidden columns to exact zero so one compiled
+    width (max over the sweep) serves every config: gelu(0)*0-masked columns
+    contribute nothing to fc2 and receive zero gradient.
+    """
+
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool,
+                 mlp_active: Optional[jax.Array] = None):
+        cfg = self.config
+        h = nn.Dense(
+            cfg.mlp_dim,
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=mlp_bias_init,
+            name="fc1",
+        )(x)
+        h = nn.gelu(h, approximate=False)  # torch F.gelu default is exact erf
+        if mlp_active is not None:
+            col = jnp.arange(cfg.mlp_dim)
+            h = h * (col < mlp_active).astype(h.dtype)
+        h = nn.Dropout(rate=cfg.dropout_rate)(h, deterministic=deterministic)
+        h = nn.Dense(
+            cfg.hidden_size,
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=mlp_bias_init,
+            name="fc2",
+        )(h)
+        h = nn.Dropout(rate=cfg.dropout_rate)(h, deterministic=deterministic)
+        return h
+
+
+class Embeddings(nn.Module):
+    """Conv3D patchify + CLS + learned position embeddings (`modeling.py:127-175`).
+
+    Input: (B, H, W, Z, C) channels-last.  128x128x5 / (16,16,5) -> 8*8*1 = 64
+    patches; flatten order (h-major, then w, then z) matches torch
+    `flatten(2)` on (B, D, 8, 8, 1).
+    """
+
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        cfg = self.config
+        B = x.shape[0]
+        x = nn.Conv(
+            features=cfg.hidden_size,
+            kernel_size=cfg.patch_size,
+            strides=cfg.patch_size,
+            padding="VALID",
+            kernel_init=torch_conv_kernel_init,
+            bias_init=torch_linear_bias_init(
+                cfg.in_channels * cfg.patch_size[0] * cfg.patch_size[1] * cfg.patch_size[2]
+            ),
+            name="patch_embeddings",
+        )(x)                                     # (B, 8, 8, 1, D)
+        x = x.reshape(B, cfg.n_patches, cfg.hidden_size)
+
+        cls = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, cfg.hidden_size)
+        )
+        x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, cfg.hidden_size)), x],
+                            axis=1)
+        pos = self.param(
+            "position_embeddings",
+            nn.initializers.zeros,
+            (1, cfg.seq_len, cfg.hidden_size),
+        )
+        x = x + pos
+        x = nn.Dropout(rate=cfg.dropout_rate)(x, deterministic=deterministic)
+        return x
+
+
+class Block(nn.Module):
+    """Pre-LN residual block (`modeling.py:178-197`), with an optional
+    `layer_gate` in {0,1} that turns the block into an exact identity —
+    the depth-padding mechanism for the vmapped sweep.
+    """
+
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool, return_probs: bool,
+                 layer_gate: Optional[jax.Array] = None,
+                 mlp_active: Optional[jax.Array] = None):
+        cfg = self.config
+        h = nn.LayerNorm(epsilon=1e-6, use_fast_variance=False, name="attention_norm")(x)
+        h, probs = Attention(cfg, name="attn")(
+            h, deterministic=deterministic, return_probs=return_probs
+        )
+        if layer_gate is not None:
+            h = h * layer_gate.astype(h.dtype)
+        x = x + h
+
+        h = nn.LayerNorm(epsilon=1e-6, use_fast_variance=False, name="ffn_norm")(x)
+        h = Mlp(cfg, name="ffn")(
+            h, deterministic=deterministic, mlp_active=mlp_active
+        )
+        if layer_gate is not None:
+            h = h * layer_gate.astype(h.dtype)
+        x = x + h
+        return x, probs
+
+
+class Encoder(nn.Module):
+    """Scan-stacked encoder (`modeling.py:237-254`): parameters carry a
+    leading layer axis of size config.num_layers (the compiled maximum);
+    `num_layers_active` gates trailing layers to identity at runtime.
+    """
+
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool, return_probs: bool,
+                 num_layers_active: Optional[jax.Array] = None,
+                 mlp_active: Optional[jax.Array] = None):
+        cfg = self.config
+
+        class ScanBlock(nn.Module):
+            config: ViTConfig
+
+            @nn.compact
+            def __call__(self, carry, layer_idx):
+                gate = None
+                if num_layers_active is not None:
+                    gate = (layer_idx < num_layers_active)
+                out, probs = Block(self.config, name="block")(
+                    carry,
+                    deterministic=deterministic,
+                    return_probs=return_probs,
+                    layer_gate=gate,
+                    mlp_active=mlp_active,
+                )
+                return out, probs
+
+        scanned = nn.scan(
+            ScanBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=cfg.num_layers,
+        )(cfg, name="layers")
+        x, probs = scanned(x, jnp.arange(cfg.num_layers))
+        x = nn.LayerNorm(epsilon=1e-6, use_fast_variance=False, name="encoder_norm")(x)
+        return x, probs
+
+
+class VisionTransformer3D(nn.Module):
+    """Full baseline model (`modeling.py:269-344`).
+
+    `zero_head=True` (zeroed classification head) is the reference trainers'
+    universal setting (`train_baseline_cv.py:57`).
+    """
+
+    config: ViTConfig
+    zero_head: bool = True
+    vis: bool = True
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True,
+                 num_layers_active: Optional[jax.Array] = None,
+                 mlp_active: Optional[jax.Array] = None) -> ViTOutput:
+        cfg = self.config
+        x = Embeddings(cfg, name="embeddings")(x, deterministic=deterministic)
+        tokens, probs = Encoder(cfg, name="encoder")(
+            x,
+            deterministic=deterministic,
+            return_probs=self.vis,
+            num_layers_active=num_layers_active,
+            mlp_active=mlp_active,
+        )
+        head = nn.Dense(
+            cfg.num_classes,
+            kernel_init=(nn.initializers.zeros if self.zero_head
+                         else torch_linear_kernel_init),
+            bias_init=(nn.initializers.zeros if self.zero_head
+                       else torch_linear_bias_init(cfg.hidden_size)),
+            name="head",
+        )
+        logits = head(tokens[:, 0])
+        return ViTOutput(logits=logits, attn_weights=probs, tokens=tokens)
+
+
+def from_torch_layout(x: jax.Array) -> jax.Array:
+    """(B, C, H, W, Z) torch layout -> (B, H, W, Z, C) native layout."""
+    return jnp.transpose(x, (0, 2, 3, 4, 1))
