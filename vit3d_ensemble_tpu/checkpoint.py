@@ -64,6 +64,28 @@ def ensemble_ckpt_path(output_dir: str, kind: str, name: str,
                         f"{tag}.msgpack")
 
 
+def load_baseline_params(path: str, config: ViTConfig) -> Any:
+    """Restore a baseline ViT param tree saved by `save_pytree`.
+
+    Accepts either our .msgpack checkpoints or reference .bin torch
+    checkpoints (detected by extension), so reference-trained weights can
+    seed ensembles directly.
+    """
+    if path.endswith(".bin"):
+        return torch_vit_to_flax(load_torch_state_dict(path), config)
+    import jax.numpy as jnp
+
+    from vit3d_ensemble_tpu.models import VisionTransformer3D
+
+    model = VisionTransformer3D(config, zero_head=True, vis=False)
+    dummy = jnp.zeros((1, config.img_size, config.img_size, config.z_size,
+                       config.in_channels))
+    target = jax.eval_shape(
+        lambda: model.init({"params": jax.random.key(0)}, dummy)["params"])
+    target = jax.tree.map(lambda t: np.zeros(t.shape, t.dtype), target)
+    return restore_pytree(path, target)
+
+
 # ---------------------------------------------------------------------------
 # torch state_dict -> flax params (parity import)
 # ---------------------------------------------------------------------------

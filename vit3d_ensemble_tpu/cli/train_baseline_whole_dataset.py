@@ -1,0 +1,73 @@
+"""Fixed-split baseline trainer — mirrors `train_baseline_whole_dataset.py`.
+
+Reference specifics preserved: fixed_split CSVs, num_steps=1000,
+eval_every=31, UNWEIGHTED BCE loss (`train_baseline_whole_dataset.py:186`),
+checkpoints to `output/baseline_models/conf{c}/conf{c}` — the files the
+ensemble drivers consume (`train_ensemble_cv.py:60,80-81`).
+
+(The reference script itself is non-runnable: its loader returns None under
+the inverted rank guard (defect D3) and it references undefined args
+(defect D7); this driver implements the intended behavior.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+from vit3d_ensemble_tpu.checkpoint import baseline_ckpt_path
+from vit3d_ensemble_tpu.cli._common import (
+    add_baseline_flags,
+    add_common_flags,
+    setup_logging,
+)
+from vit3d_ensemble_tpu.configs import ViTConfig
+from vit3d_ensemble_tpu.data import build_train_val
+from vit3d_ensemble_tpu.train.trainer import train_baseline
+
+logger = logging.getLogger("train_baseline_whole_dataset")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    add_common_flags(parser, csv_subdir="fixed_split")
+    add_baseline_flags(parser, eval_every=31, num_steps=1000)
+    return parser
+
+
+def main(argv=None):
+    setup_logging()
+    args = build_parser().parse_args(argv)
+
+    configs = (list(range(1, 19)) if args.all_configs else [args.config])
+    train_split, val_split, _ = build_train_val(
+        os.path.join(args.csv_path, "training.csv"),
+        os.path.join(args.csv_path, "validation.csv"),
+        args.data_root, aug_mode=args.aug_mode, size=args.img_size,
+    )
+    all_results = {}
+    for conf in configs:
+        config = ViTConfig.from_conf(conf, img_size=args.img_size)
+        save_path = baseline_ckpt_path(args.output_dir, "baseline", conf,
+                                       f"conf{conf}")
+        res = train_baseline(
+            config, train_split, val_split,
+            num_steps=args.num_steps, eval_every=args.eval_every,
+            train_batch_size=args.train_batch_size,
+            learning_rate=args.learning_rate,
+            weight_decay=args.weight_decay,
+            warmup_steps=args.warmup_steps, decay_type=args.decay_type,
+            seed=args.seed, save_path=save_path, keep_best_params=False,
+            balanced_weights=False,
+        )
+        logger.info("conf %d (%.3fM params) best metrics:", conf,
+                    res.num_params_m)
+        for k, v in res.metrics.items():
+            logger.info("  %s: %s", k, v)
+        all_results[conf] = res.metrics
+    return all_results
+
+
+if __name__ == "__main__":
+    main()

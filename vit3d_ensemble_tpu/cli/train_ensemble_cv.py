@@ -1,0 +1,199 @@
+"""Ensemble CV sweep over all C(18,3)=816 combinations — mirrors
+`train_ensemble_cv.py` (reference).
+
+Two modes:
+  * default (TPU-native, the BASELINE.json north star): the 18 baselines'
+    logits are computed ONCE per fold in a grouped batched forward, then
+    every (combination, fold) meta-head trains as one vmapped program
+    (`sweep/ensemble_sweep.py`) — seconds instead of the reference's
+    816 x 5 sequential 100-epoch ensemble retrains.
+  * --end_to_end: the reference-faithful mode — full backbones fine-tuned
+    per combination x fold via `train/ensemble_trainer.py` (slow; use
+    --max_configs to restrict the grid).
+
+Output: workbook + CSV with 'mean (std)' cells per metric over folds
+(`train_ensemble_cv.py:36-49,221-230`).  The reference names its CV
+workbook 'Ensemble_Bootstrap.xlsx' (defect D12); ours is 'Ensemble_CV'
+unless overridden with --workbook.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from typing import Dict
+
+import numpy as np
+
+from vit3d_ensemble_tpu.checkpoint import (
+    baseline_ckpt_path,
+    ensemble_ckpt_path,
+    load_baseline_params,
+    save_pytree,
+)
+from vit3d_ensemble_tpu.cli._common import add_common_flags, setup_logging
+from vit3d_ensemble_tpu.configs import ViTConfig
+from vit3d_ensemble_tpu.data import build_train_val
+from vit3d_ensemble_tpu.reporting import write_sweep_report
+from vit3d_ensemble_tpu.sweep.engine import METRIC_KEYS
+from vit3d_ensemble_tpu.train.trainer import init_baseline
+
+logger = logging.getLogger("train_ensemble_cv")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    add_common_flags(parser, csv_subdir="cross_validation")
+    parser.add_argument("--num_epochs", type=int, default=100,
+                        help="Training epochs per combination.")
+    parser.add_argument("--num_cv", type=int, default=5,
+                        help="Number of folds in cross validation.")
+    parser.add_argument("--conf", type=int, default=5,
+                        help="(kept for reference CLI parity)")
+    parser.add_argument("--max_configs", type=int, default=19,
+                        help="Max baseline configuration number + 1.")
+    parser.add_argument("--combinations", type=int, default=3,
+                        help="Baselines per ensemble.")
+    parser.add_argument("--learning_rate", type=float, default=1e-4)
+    parser.add_argument("--end_to_end", action="store_true",
+                        help="Reference-faithful mode: fine-tune backbones "
+                             "per combination (slow).")
+    parser.add_argument("--random_init_members", action="store_true",
+                        help="Use fresh inits for missing baseline ckpts.")
+    parser.add_argument("--workbook", default="Ensemble_CV",
+                        help="Report file base name.")
+    parser.add_argument("--output_path", default=None,
+                        help="Alias of --output_dir.")
+    return parser
+
+
+def _load_member(args, conf: int):
+    cfg = ViTConfig.from_conf(conf, img_size=args.img_size)
+    path = baseline_ckpt_path(args.output_dir, "baseline", conf,
+                              f"conf{conf}")
+    if os.path.exists(path):
+        return cfg, load_baseline_params(path, cfg)
+    if os.path.exists(path[:-len(".msgpack")] + ".bin"):
+        return cfg, load_baseline_params(path[:-len(".msgpack")] + ".bin",
+                                         cfg)
+    if args.random_init_members:
+        return cfg, init_baseline(cfg, args.seed)[1]
+    raise FileNotFoundError(f"baseline checkpoint missing: {path}")
+
+
+def run_frozen(args) -> Dict[str, Dict[str, Dict[str, float]]]:
+    from vit3d_ensemble_tpu.sweep.ensemble_sweep import (
+        MetaHyper,
+        all_combinations,
+        compute_member_logits,
+        train_meta_sweep,
+    )
+
+    confs = list(range(1, args.max_configs))
+    members = {}
+    for c in confs:
+        _, members[c] = _load_member(args, c)
+
+    F = args.num_cv
+    train_logits, train_labels, train_mask = [], [], []
+    val_logits, val_labels, val_mask = [], [], []
+    n_max = v_max = 0
+    per_fold = []
+    for cv in range(F):
+        t, v, _ = build_train_val(
+            os.path.join(args.csv_path, f"training_cv{cv + 1}.csv"),
+            os.path.join(args.csv_path, f"validation_cv{cv + 1}.csv"),
+            args.data_root, aug_mode="none", size=args.img_size)
+        tl = compute_member_logits(members, t.volumes, args.img_size)
+        vl = compute_member_logits(members, v.volumes, args.img_size)
+        per_fold.append((tl, t.labels, vl, v.labels))
+        n_max = max(n_max, len(t))
+        v_max = max(v_max, len(v))
+
+    C18 = len(confs)
+    TL = np.zeros((F, C18, n_max), np.float32)
+    TY = np.zeros((F, n_max), np.float32)
+    TM = np.zeros((F, n_max), np.float32)
+    VL = np.zeros((F, C18, v_max), np.float32)
+    VY = np.zeros((F, v_max), np.float32)
+    VM = np.zeros((F, v_max), np.float32)
+    for f, (tl, ty, vl, vy) in enumerate(per_fold):
+        n, vn = len(ty), len(vy)
+        for i, c in enumerate(confs):
+            TL[f, i, :n] = tl[c]
+            VL[f, i, :vn] = vl[c]
+        TY[f, :n], TM[f, :n] = ty, 1.0
+        VY[f, :vn], VM[f, :vn] = vy, 1.0
+
+    combos = all_combinations(args.max_configs, args.combinations)
+    conf_index = {c: i for i, c in enumerate(confs)}
+    hyper = MetaHyper(num_epochs=args.num_epochs,
+                      train_batch_size=args.train_batch_size,
+                      learning_rate=args.learning_rate, seed=args.seed)
+    logger.info("frozen-backbone sweep: %d combos x %d folds",
+                len(combos), F)
+    metrics, meta = train_meta_sweep(combos, TL, TY, TM, VL, VY, VM,
+                                     conf_index, hyper)
+
+    results: Dict[str, Dict[str, Dict[str, float]]] = {}
+    for ci, comb in enumerate(combos):
+        name = "_".join(str(c) for c in comb)
+        results[name] = {}
+        for f in range(F):
+            results[name][f"CV {f + 1}"] = {
+                k: float(x) for k, x in zip(METRIC_KEYS, metrics[ci, f])}
+        # persist the meta head (w1 w2 w3 b) per fold
+        save_pytree(ensemble_ckpt_path(args.output_dir, "cv_ensemble",
+                                       name, "meta_heads"),
+                    {"combo": np.asarray(comb), "meta_wb": meta[ci]})
+    return results
+
+
+def run_end_to_end(args) -> Dict[str, Dict[str, Dict[str, float]]]:
+    from itertools import combinations as it_combinations
+
+    from vit3d_ensemble_tpu.train.ensemble_trainer import train_ensemble
+
+    results: Dict[str, Dict[str, Dict[str, float]]] = {}
+    combos = list(it_combinations(range(1, args.max_configs),
+                                  args.combinations))
+    for comb in combos:
+        name = "_".join(str(c) for c in comb)
+        loaded = [_load_member(args, c) for c in comb]
+        configs = [cfg for cfg, _ in loaded]
+        members = [p for _, p in loaded]
+        results[name] = {}
+        for cv in range(args.num_cv):
+            t, v, _ = build_train_val(
+                os.path.join(args.csv_path, f"training_cv{cv + 1}.csv"),
+                os.path.join(args.csv_path, f"validation_cv{cv + 1}.csv"),
+                args.data_root, aug_mode="none", size=args.img_size)
+            save = ensemble_ckpt_path(args.output_dir, "cv_ensemble", name,
+                                      f"cv{cv + 1}")
+            res = train_ensemble(configs, members, t, v,
+                                 num_epochs=args.num_epochs,
+                                 train_batch_size=args.train_batch_size,
+                                 learning_rate=args.learning_rate,
+                                 seed=args.seed, save_path=save,
+                                 keep_best_params=False)
+            results[name][f"CV {cv + 1}"] = dict(res.metrics)
+            logger.info("ensemble %s cv%d AUROC %.4f", name, cv + 1,
+                        res.metrics["AUROC"])
+    return results
+
+
+def main(argv=None):
+    setup_logging()
+    args = build_parser().parse_args(argv)
+    if args.output_path:
+        args.output_dir = args.output_path
+    results = run_end_to_end(args) if args.end_to_end else run_frozen(args)
+    report = os.path.join(args.output_dir, args.workbook)
+    write_sweep_report(report, results)
+    logger.info("report written to %s.xlsx / .csv", report)
+    return results
+
+
+if __name__ == "__main__":
+    main()

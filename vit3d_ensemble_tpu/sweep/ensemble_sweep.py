@@ -1,0 +1,209 @@
+"""Frozen-backbone ensemble sweep: all C(18,3)=816 combinations at once.
+
+The reference's ensemble CV sweep re-trains 816 x 5 FULL ensembles (3 ViT
+backbones each) sequentially for 100 epochs apiece
+(`train_ensemble_cv.py:56-57,66,85`) — thousands of GPU-hours.  The
+TPU-native formulation (BASELINE.json north star): run the 18 baselines'
+logits for the whole split ONCE in a single grouped batched forward, then
+the 816-combination sweep reduces to training 816 x F tiny
+Linear(3,1)+sigmoid meta-heads on cached logits — one vmapped jitted
+program, seconds of wall-clock.
+
+This is the `frozen` mode.  The reference-faithful end-to-end mode
+(backbones receive gradients) lives in `train/ensemble_trainer.py` and is
+selected with --end_to_end on the CLI drivers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import logging
+from typing import Dict, Mapping, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vit3d_ensemble_tpu.configs import ViTConfig
+from vit3d_ensemble_tpu.metrics.jax_metrics import compute_eval_metrics
+from vit3d_ensemble_tpu.models import VisionTransformer3D
+from vit3d_ensemble_tpu.sweep.engine import METRIC_KEYS, _metrics_vector
+from vit3d_ensemble_tpu.sweep.stack import ConfigGroup, _pad_to, group_configs
+from vit3d_ensemble_tpu.train.selection import (
+    device_best_init,
+    device_consider,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def all_combinations(max_configs: int = 19, k: int = 3) -> np.ndarray:
+    """The reference's combination grid (`train_ensemble_cv.py:56-57`):
+    combinations(range(1, max_configs), k) -> (n_combos, k) conf numbers."""
+    return np.array(list(itertools.combinations(range(1, max_configs), k)),
+                    dtype=np.int32)
+
+
+def compute_member_logits(
+    member_params: Mapping[int, dict],
+    volumes: np.ndarray,
+    img_size: int = 128,
+    batch_size: int = 128,
+) -> Dict[int, np.ndarray]:
+    """Run each baseline conf's logits over `volumes` — grouped, vmapped.
+
+    member_params: {conf: TRUE-shape param tree}.  Returns {conf: (N,)}.
+    """
+    out: Dict[int, np.ndarray] = {}
+    confs = sorted(member_params)
+    for group in group_configs(confs):
+        template = group.template_config(img_size)
+        model = VisionTransformer3D(template, zero_head=True, vis=False)
+        dummy = jnp.zeros((1, img_size, img_size, template.z_size, 1))
+        tshapes = jax.eval_shape(
+            lambda: model.init({"params": jax.random.key(0)}, dummy)["params"])
+
+        @jax.jit
+        def pad_stack(member_trees):
+            padded = [jax.tree.map(lambda p, t: _pad_to(p, t.shape),
+                                   tree, tshapes) for tree in member_trees]
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
+
+        stacked = pad_stack([member_params[c] for c in group.confs])
+        mlp_active = jnp.asarray(group.mlp_dims, jnp.int32)
+        layers_active = jnp.asarray(group.num_layers, jnp.int32)
+
+        @jax.jit
+        def fwd(params, vols, mlp_active=mlp_active,
+                layers_active=layers_active, model=model):
+            def one(p, ml, la):
+                return model.apply({"params": p}, vols, deterministic=True,
+                                   num_layers_active=la,
+                                   mlp_active=ml).logits.reshape(-1)
+
+            return jax.vmap(one, in_axes=(0, 0, 0))(params, mlp_active,
+                                                    layers_active)
+
+        chunks = []
+        for s in range(0, volumes.shape[0], batch_size):
+            chunks.append(np.asarray(fwd(stacked,
+                                         jnp.asarray(volumes[s:s + batch_size]))))
+        logits = np.concatenate(chunks, axis=1)       # (G, N)
+        for g, c in enumerate(group.confs):
+            out[c] = logits[g]
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class MetaHyper:
+    num_epochs: int = 100
+    train_batch_size: int = 4
+    learning_rate: float = 1e-4
+    seed: int = 42
+
+
+def train_meta_sweep(
+    combos: np.ndarray,                 # (C, 3) conf numbers
+    train_logits: np.ndarray,           # (F, 18, N) per-fold member logits
+    train_labels: np.ndarray,           # (F, N)
+    train_mask: np.ndarray,             # (F, N)
+    val_logits: np.ndarray,             # (F, 18, V)
+    val_labels: np.ndarray,             # (F, V)
+    val_mask: np.ndarray,               # (F, V)
+    conf_index: Mapping[int, int],      # conf number -> row in logits
+    hyper: MetaHyper = MetaHyper(),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Train every (combo, fold) meta head; returns
+    (best_metrics (C, F, 11), best_meta_params as (C, F, 4) [w1 w2 w3 b])."""
+    C = combos.shape[0]
+    F, _, N = train_logits.shape
+    B = hyper.train_batch_size
+    E = hyper.num_epochs
+
+    member_rows = np.vectorize(conf_index.__getitem__)(combos)  # (C, 3)
+
+    # batch schedule, reshuffled per epoch per fold (matches the reference's
+    # RandomSampler-every-epoch); padded final batch is masked.
+    steps = -(-N // B)
+    rng = np.random.default_rng(hyper.seed)
+    batch_idx = np.zeros((F, E, steps, B), np.int32)
+    batch_msk = np.zeros((F, E, steps, B), np.float32)
+    for f in range(F):
+        n_true = int(train_mask[f].sum())
+        for e in range(E):
+            order = rng.permutation(n_true)
+            for s in range(steps):
+                chunk = order[s * B:(s + 1) * B]
+                batch_msk[f, e, s, :len(chunk)] = 1.0
+                batch_idx[f, e, s, :len(chunk)] = chunk
+
+    tx = optax.adam(hyper.learning_rate)
+
+    def train_one(w, b, key, members, tl, ty, bidx, bmsk, vl, vy, vmask):
+        # members: (3,) rows; tl: (18, N); vl: (18, V)
+        sel_t = tl[members]                     # (3, N)
+        sel_v = vl[members]                     # (3, V)
+        params = dict(w=w, b=b)
+
+        def loss_fn(p, cols, y, m):
+            z = jnp.einsum("kb,k->b", cols, p["w"]) + p["b"]
+            probs = jax.nn.sigmoid(z)
+            probs = jnp.clip(probs, 1e-12, 1 - 1e-12)
+            per = -(y * jnp.log(probs) + (1 - y) * jnp.log(1 - probs))
+            return jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+        def one_step(carry, im):
+            p, opt = carry
+            idx, m = im
+            cols = sel_t[:, idx]                # (3, B)
+            y = ty[idx]
+            loss, grads = jax.value_and_grad(loss_fn)(p, cols, y, m)
+            updates, opt = tx.update(grads, opt, p)
+            p = optax.apply_updates(p, updates)
+            return (p, opt), loss
+
+        def evaluate(p):
+            z = jnp.einsum("kv,k->v", sel_v, p["w"]) + p["b"]
+            probs = jax.nn.sigmoid(z)
+            m = compute_eval_metrics(probs, vy, vmask)
+            return _metrics_vector(m), probs
+
+        def epoch_body(carry, chunk):
+            inner, best = carry
+            inner, _ = jax.lax.scan(one_step, inner, chunk)
+            mvec, probs = evaluate(inner[0])
+            best = device_consider(best, mvec, probs, inner[0],
+                                   jnp.bool_(False))
+            return (inner, best), mvec[3]
+
+        opt = tx.init(params)
+        best0 = device_best_init(11, vy.shape[0], params)
+        (inner, best), _ = jax.lax.scan(
+            epoch_body, ((params, opt), best0), (bidx, bmsk))
+        mvec, probs = evaluate(inner[0])
+        best = device_consider(best, mvec, probs, inner[0], ~best["found"])
+        return best["metrics"], best["payload"]
+
+    # init meta heads: torch Linear(3,1) default U(+-1/sqrt(3)) per combo
+    init_rng = jax.random.key(hyper.seed)
+    kw, kb = jax.random.split(init_rng)
+    bound = 1.0 / np.sqrt(3.0)
+    w0 = jax.random.uniform(kw, (C, F, 3), minval=-bound, maxval=bound)
+    b0 = jax.random.uniform(kb, (C, F), minval=-bound, maxval=bound)
+    keys = jax.random.split(jax.random.key(hyper.seed + 1), C * F)
+    keys = keys.reshape(C, F)
+
+    fold_axes = (0, 0, 0, None, 0, 0, 0, 0, 0, 0, 0)
+    combo_axes = (0, 0, 0, 0, None, None, None, None, None, None, None)
+    fn = jax.jit(jax.vmap(jax.vmap(train_one, in_axes=fold_axes),
+                          in_axes=combo_axes))
+    metrics, meta = fn(w0, b0, keys, jnp.asarray(member_rows),
+                       jnp.asarray(train_logits), jnp.asarray(train_labels),
+                       jnp.asarray(batch_idx), jnp.asarray(batch_msk),
+                       jnp.asarray(val_logits), jnp.asarray(val_labels),
+                       jnp.asarray(val_mask))
+    meta_flat = np.concatenate(
+        [np.asarray(meta["w"]), np.asarray(meta["b"])[..., None]], axis=-1)
+    return np.asarray(metrics), meta_flat
