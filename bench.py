@@ -1,0 +1,80 @@
+"""Headline benchmark: 18-ViT batched inference throughput (volumes/sec/chip).
+
+The BASELINE.json metric.  Every volume is pushed through ALL 18 baseline
+ViT configurations (the ensemble sweep's member-logit workload), batched as
+3 vmapped shape-class groups on one chip.
+
+Baseline for vs_baseline: the reference (torch 2.13 CPU, measured
+2026-08-16, BASELINE.md) runs single-model inference at ~203 volumes/s, so
+pushing a volume through all 18 models sequentially runs at 203/18 ~= 11.3
+volumes/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+REFERENCE_ALL18_VOLUMES_PER_SEC = 203.0 / 18.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vit3d_ensemble_tpu.cli._common import setup_jax_cache
+    from vit3d_ensemble_tpu.models import VisionTransformer3D
+    from vit3d_ensemble_tpu.sweep.stack import group_configs, init_group_params
+
+    setup_jax_cache()
+
+    B = 128          # volumes per step; all 18 models see every volume
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, 128, 128, 5, 1)).astype(np.float32))
+
+    fwds = []
+    for group in group_configs(range(1, 19)):
+        template = group.template_config(128)
+        model = VisionTransformer3D(template, zero_head=True, vis=False)
+        params = jax.tree.map(lambda a: a[:, 0],
+                              init_group_params(group, 1, 42))
+        mlp_a = jnp.asarray(group.mlp_dims, jnp.int32)
+        lay_a = jnp.asarray(group.num_layers, jnp.int32)
+
+        @jax.jit
+        def fwd(p, vols, ml=mlp_a, la=lay_a, model=model):
+            def one(pp, m, l):
+                return model.apply({"params": pp}, vols, deterministic=True,
+                                   num_layers_active=l,
+                                   mlp_active=m).logits.reshape(-1)
+
+            return jax.vmap(one, in_axes=(0, 0, 0))(p, ml, la)
+
+        fwds.append((fwd, params))
+
+    # warmup (compile)
+    for fwd, params in fwds:
+        jax.block_until_ready(fwd(params, x))
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        outs = [fwd(params, x) for fwd, params in fwds]
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+
+    volumes_per_sec = B * iters / dt
+    print(json.dumps({
+        "metric": "volumes/sec/chip (18-ViT batched inference)",
+        "value": round(volumes_per_sec, 1),
+        "unit": "volumes/s",
+        "vs_baseline": round(volumes_per_sec / REFERENCE_ALL18_VOLUMES_PER_SEC,
+                             1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -170,6 +170,43 @@ class Mlp(nn.Module):
         return h
 
 
+class PatchEmbed(nn.Module):
+    """Stride==kernel Conv3D patchify, computed as reshape + one MXU matmul.
+
+    A conv with kernel==stride is exactly a block reshape followed by a
+    (n_patches, kh*kw*kz*C) @ (kh*kw*kz*C, D) matmul.  XLA:TPU lowers the
+    1-input-channel Conv3D badly (especially under vmap over stacked model
+    params); the matmul form is the native MXU path AND batches cleanly in
+    the multi-model sweep.  Parameters keep the conv kernel layout
+    (kh, kw, kz, C_in, D) so torch/parity checkpoints map unchanged.
+    """
+
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        kh, kw, kz = cfg.patch_size
+        B, H, W, Z, C = x.shape
+        fan_in = kh * kw * kz * C
+        kernel = self.param("kernel", torch_conv_kernel_init,
+                            (kh, kw, kz, C, cfg.hidden_size))
+        bias = self.param("bias", torch_linear_bias_init(fan_in),
+                          (cfg.hidden_size,))
+        if H % kh == 0 and W % kw == 0 and Z % kz == 0:
+            gh, gw, gz = H // kh, W // kw, Z // kz
+            # (B, gh, kh, gw, kw, gz, kz, C) -> (B, gh, gw, gz, kh, kw, kz, C)
+            patches = x.reshape(B, gh, kh, gw, kw, gz, kz, C)
+            patches = patches.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+            patches = patches.reshape(B, gh * gw * gz, fan_in)
+            return patches @ kernel.reshape(fan_in, cfg.hidden_size) + bias
+        # general fallback: plain strided conv
+        out = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=cfg.patch_size, padding="VALID",
+            dimension_numbers=("NHWDC", "HWDIO", "NHWDC"))
+        return out.reshape(B, -1, cfg.hidden_size) + bias
+
+
 class Embeddings(nn.Module):
     """Conv3D patchify + CLS + learned position embeddings (`modeling.py:127-175`).
 
@@ -184,18 +221,7 @@ class Embeddings(nn.Module):
     def __call__(self, x, *, deterministic: bool):
         cfg = self.config
         B = x.shape[0]
-        x = nn.Conv(
-            features=cfg.hidden_size,
-            kernel_size=cfg.patch_size,
-            strides=cfg.patch_size,
-            padding="VALID",
-            kernel_init=torch_conv_kernel_init,
-            bias_init=torch_linear_bias_init(
-                cfg.in_channels * cfg.patch_size[0] * cfg.patch_size[1] * cfg.patch_size[2]
-            ),
-            name="patch_embeddings",
-        )(x)                                     # (B, 8, 8, 1, D)
-        x = x.reshape(B, cfg.n_patches, cfg.hidden_size)
+        x = PatchEmbed(cfg, name="patch_embeddings")(x)   # (B, 64, D)
 
         cls = self.param(
             "cls_token", nn.initializers.zeros, (1, 1, cfg.hidden_size)

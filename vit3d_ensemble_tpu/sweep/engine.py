@@ -242,7 +242,11 @@ def make_group_trainer(group: ConfigGroup, hyper: SweepHyper,
 
 
 def run_group(group: ConfigGroup, data: FoldData, hyper: SweepHyper,
-              img_size: int = 128) -> GroupResult:
+              img_size: int = 128, mesh=None) -> GroupResult:
+    """Train one group.  With `mesh` (a jax.sharding.Mesh('model', 'data')),
+    the stacked params shard over ('model', 'data'), fold arrays over
+    ('data',), and the pool replicates — XLA partitions the program across
+    chips with no code changes (see `parallel/mesh.py`)."""
     F = data.n_folds
     G = len(group.confs)
     params = init_group_params(group, F, hyper.seed, img_size)
@@ -251,14 +255,25 @@ def run_group(group: ConfigGroup, data: FoldData, hyper: SweepHyper,
     keys = jax.random.split(jax.random.key(hyper.seed), G * F)
     keys = keys.reshape(G, F)
 
+    arrays = dict(
+        pool=data.pool, row_idx=data.row_idx,
+        train_labels=data.train_labels, mean=data.mean,
+        batch_idx=data.batch_idx, batch_mask=data.batch_mask,
+        val_idx=data.val_idx, val_labels=data.val_labels,
+        val_mask=data.val_mask)
+    if mesh is not None:
+        from vit3d_ensemble_tpu.parallel.mesh import shard_group_inputs
+
+        params, keys, arrays = shard_group_inputs(mesh, params, keys, arrays)
+    else:
+        arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+
     trainer = make_group_trainer(group, hyper, img_size)
     out = trainer(params, keys, mlp_active, layers_active,
-                  jnp.asarray(data.pool),
-                  jnp.asarray(data.row_idx), jnp.asarray(data.train_labels),
-                  jnp.asarray(data.mean),
-                  jnp.asarray(data.batch_idx), jnp.asarray(data.batch_mask),
-                  jnp.asarray(data.val_idx), jnp.asarray(data.val_labels),
-                  jnp.asarray(data.val_mask))
+                  arrays["pool"], arrays["row_idx"], arrays["train_labels"],
+                  arrays["mean"], arrays["batch_idx"], arrays["batch_mask"],
+                  arrays["val_idx"], arrays["val_labels"],
+                  arrays["val_mask"])
     return GroupResult(
         group=group,
         best_metrics=np.asarray(out["metrics"]),
