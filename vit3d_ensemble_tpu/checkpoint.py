@@ -64,6 +64,35 @@ def ensemble_ckpt_path(output_dir: str, kind: str, name: str,
                         f"{tag}.msgpack")
 
 
+def save_train_state(path: str, params: Any, opt_state: Any, step: int,
+                     meta: Optional[Dict[str, Any]] = None) -> None:
+    """Full-state snapshot (params + optimizer + step + run metadata).
+
+    Net-new vs the reference (SURVEY.md §5 failure detection): reference
+    checkpoints are weights-only with no resume
+    (`train_baseline_cv.py:133`); these make multi-hour sweeps (816 combos
+    x folds) resumable after preemption.
+    """
+    save_pytree(path, {
+        "params": params,
+        "opt_state": opt_state,
+        "step": np.asarray(step, np.int64),
+        "meta": dict(meta or {}),
+    })
+
+
+def restore_train_state(path: str, params_target: Any,
+                        opt_state_target: Any):
+    """Restore a `save_train_state` snapshot; targets supply the pytree
+    structure (e.g. fresh init + tx.init)."""
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    params = serialization.from_state_dict(params_target, raw["params"])
+    opt_state = serialization.from_state_dict(opt_state_target,
+                                              raw["opt_state"])
+    return params, opt_state, int(raw["step"]), raw.get("meta", {})
+
+
 def load_baseline_params(path: str, config: ViTConfig) -> Any:
     """Restore a baseline ViT param tree saved by `save_pytree`.
 

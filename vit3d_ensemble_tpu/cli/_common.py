@@ -70,6 +70,29 @@ def add_common_flags(parser: argparse.ArgumentParser,
                         default="disk",
                         help="Augmentation source: precomputed folders "
                              "(reference parity) or on-device transforms.")
+    parser.add_argument("--attention_impl", choices=["xla", "pallas"],
+                        default="xla",
+                        help="Attention kernel: XLA einsum path or the "
+                             "fused Pallas kernel (ops/pallas_attention).")
+    parser.add_argument("--profile_dir", default=None,
+                        help="Write a Perfetto/XProf device trace of the "
+                             "run to this directory.")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="Raise on any NaN produced under jit "
+                             "(jax_debug_nans).")
+    parser.add_argument("--resume", action="store_true",
+                        help="Skip sweep groups whose results are already "
+                             "recorded under output_dir/sweep_state/.")
+
+
+def apply_runtime_flags(args) -> None:
+    from vit3d_ensemble_tpu.ops.attention import set_default_attention_impl
+
+    set_default_attention_impl(getattr(args, "attention_impl", "xla"))
+    if getattr(args, "debug_nans", False):
+        from vit3d_ensemble_tpu.utils.debug import enable_nan_checking
+
+        enable_nan_checking()
 
 
 def add_baseline_flags(parser: argparse.ArgumentParser,

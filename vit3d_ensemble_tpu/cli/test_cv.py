@@ -32,6 +32,7 @@ from vit3d_ensemble_tpu.checkpoint import (
     restore_pytree,
 )
 from vit3d_ensemble_tpu.cli._common import (
+    apply_runtime_flags,
     add_common_flags,
     parse_conf_list,
     setup_logging,
@@ -172,6 +173,7 @@ def test_ensemble(args) -> Dict[str, Dict[str, float]]:
 def main(argv=None):
     setup_logging()
     args = build_parser().parse_args(argv)
+    apply_runtime_flags(args)
     out_path = args.output_path or args.output_dir
     res_base = test_baseline(args) if args.baseline else None
     res_ens = test_ensemble(args) if args.ensemble else None

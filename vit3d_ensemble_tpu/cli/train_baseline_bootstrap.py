@@ -23,6 +23,7 @@ import numpy as np
 
 from vit3d_ensemble_tpu.checkpoint import baseline_ckpt_path, save_pytree
 from vit3d_ensemble_tpu.cli._common import (
+    apply_runtime_flags,
     add_baseline_flags,
     add_common_flags,
     setup_logging,
@@ -51,6 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> Dict:
     setup_logging()
     args = build_parser().parse_args(argv)
+    apply_runtime_flags(args)
 
     hyper = SweepHyper(
         num_steps=args.num_steps, eval_every=args.eval_every,

@@ -21,6 +21,7 @@ import os
 
 from vit3d_ensemble_tpu.checkpoint import baseline_ckpt_path
 from vit3d_ensemble_tpu.cli._common import (
+    apply_runtime_flags,
     add_baseline_flags,
     add_common_flags,
     setup_logging,
@@ -95,6 +96,7 @@ def run_all_configs(args) -> dict:
 def main(argv=None):
     setup_logging()
     args = build_parser().parse_args(argv)
+    apply_runtime_flags(args)
     if args.all_configs:
         return run_all_configs(args)
     return run_single_config(args)

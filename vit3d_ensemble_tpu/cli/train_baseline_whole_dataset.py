@@ -18,6 +18,7 @@ import os
 
 from vit3d_ensemble_tpu.checkpoint import baseline_ckpt_path
 from vit3d_ensemble_tpu.cli._common import (
+    apply_runtime_flags,
     add_baseline_flags,
     add_common_flags,
     setup_logging,
@@ -39,6 +40,7 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     setup_logging()
     args = build_parser().parse_args(argv)
+    apply_runtime_flags(args)
 
     configs = (list(range(1, 19)) if args.all_configs else [args.config])
     train_split, val_split, _ = build_train_val(

@@ -26,7 +26,11 @@ from typing import Dict
 import numpy as np
 
 from vit3d_ensemble_tpu.checkpoint import ensemble_ckpt_path, save_pytree
-from vit3d_ensemble_tpu.cli._common import add_common_flags, setup_logging
+from vit3d_ensemble_tpu.cli._common import (
+    add_common_flags,
+    apply_runtime_flags,
+    setup_logging,
+)
 from vit3d_ensemble_tpu.data import bootstrap_resample, build_train_val, load_split
 from vit3d_ensemble_tpu.reporting import write_sweep_report
 from vit3d_ensemble_tpu.sweep.engine import METRIC_KEYS
@@ -209,6 +213,7 @@ def run_end_to_end(args):
 def main(argv=None):
     setup_logging()
     args = build_parser().parse_args(argv)
+    apply_runtime_flags(args)
     if args.output_path:
         args.output_dir = args.output_path
     if args.end_to_end:

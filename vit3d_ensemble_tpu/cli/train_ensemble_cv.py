@@ -32,7 +32,11 @@ from vit3d_ensemble_tpu.checkpoint import (
     load_baseline_params,
     save_pytree,
 )
-from vit3d_ensemble_tpu.cli._common import add_common_flags, setup_logging
+from vit3d_ensemble_tpu.cli._common import (
+    add_common_flags,
+    apply_runtime_flags,
+    setup_logging,
+)
 from vit3d_ensemble_tpu.configs import ViTConfig
 from vit3d_ensemble_tpu.data import build_train_val
 from vit3d_ensemble_tpu.reporting import write_sweep_report
@@ -186,6 +190,7 @@ def run_end_to_end(args) -> Dict[str, Dict[str, Dict[str, float]]]:
 def main(argv=None):
     setup_logging()
     args = build_parser().parse_args(argv)
+    apply_runtime_flags(args)
     if args.output_path:
         args.output_dir = args.output_path
     results = run_end_to_end(args) if args.end_to_end else run_frozen(args)

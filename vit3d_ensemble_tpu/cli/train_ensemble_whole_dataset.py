@@ -25,6 +25,7 @@ from vit3d_ensemble_tpu.checkpoint import (
     load_baseline_params,
 )
 from vit3d_ensemble_tpu.cli._common import (
+    apply_runtime_flags,
     add_common_flags,
     parse_conf_list,
     setup_logging,
@@ -87,6 +88,7 @@ def load_members(args, confs):
 def main(argv=None):
     setup_logging()
     args = build_parser().parse_args(argv)
+    apply_runtime_flags(args)
     if args.output_path:
         args.output_dir = args.output_path
     confs = parse_conf_list(args.ensemble_conf_list)

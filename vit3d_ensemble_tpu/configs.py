@@ -92,6 +92,12 @@ class ViTConfig:
     z_size: int = 5          # volume depth (modeling.py:134 hard-codes 5)
     in_channels: int = 1
     num_classes: int = 1
+    # hybrid ResNetV2 stem (reference `config.patches.grid` branch,
+    # modeling.py:137-152 — dead there; reachable here, see
+    # models/resnet_hybrid.py). None = pure patchify (all README configs).
+    hybrid_grid: Tuple[int, int] = None
+    resnet_block_units: Tuple[int, ...] = (3, 4, 9)
+    resnet_width_factor: int = 1
 
     @property
     def head_dim(self) -> int:

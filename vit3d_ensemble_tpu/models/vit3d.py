@@ -221,7 +221,22 @@ class Embeddings(nn.Module):
     def __call__(self, x, *, deterministic: bool):
         cfg = self.config
         B = x.shape[0]
-        x = PatchEmbed(cfg, name="patch_embeddings")(x)   # (B, 64, D)
+        if cfg.hybrid_grid is not None:
+            from vit3d_ensemble_tpu.models.resnet_hybrid import (
+                HybridBackbone3D,
+            )
+
+            x = HybridBackbone3D(cfg.resnet_block_units,
+                                 cfg.resnet_width_factor,
+                                 name="hybrid_model")(x)
+            gh, gw = cfg.hybrid_grid
+            patch = (max(1, x.shape[1] // gh), max(1, x.shape[2] // gw), 1)
+            hybrid_cfg = dataclasses.replace(
+                cfg, patch_size=patch, in_channels=x.shape[-1],
+                img_size=x.shape[1], z_size=x.shape[3])
+            x = PatchEmbed(hybrid_cfg, name="patch_embeddings")(x)
+        else:
+            x = PatchEmbed(cfg, name="patch_embeddings")(x)   # (B, 64, D)
 
         cls = self.param(
             "cls_token", nn.initializers.zeros, (1, 1, cfg.hidden_size)
@@ -231,7 +246,7 @@ class Embeddings(nn.Module):
         pos = self.param(
             "position_embeddings",
             nn.initializers.zeros,
-            (1, cfg.seq_len, cfg.hidden_size),
+            (1, x.shape[1], cfg.hidden_size),   # == cfg.seq_len when pure
         )
         x = x + pos
         x = nn.Dropout(rate=cfg.dropout_rate)(x, deterministic=deterministic)

@@ -1,0 +1,126 @@
+"""Fused multi-head attention Pallas kernel for the tiny-head 3D-ViT regime.
+
+Shapes in play (reference grid, `tools.py:84-97`): sequence 65 tokens,
+head_dim in {1, 4, 8, 16}, heads 4-16.  At this size the cost of attention
+is NOT FLOPs — it is the HBM round-trip of the (batch*heads, 65, 65)
+probability tensor between the two matmuls, which XLA cannot fuse through.
+This kernel keeps scores/softmax/context for a block of batch-heads
+entirely in VMEM.
+
+Design:
+  * leading dims x heads flatten to one BH axis; the grid tiles it in
+    blocks of BH_BLOCK; each program fori-loops over its block computing
+    (S, hd) @ (hd, S) -> masked softmax -> (S, S) @ (S, hd) per head on
+    the MXU/VPU without leaving VMEM;
+  * head_dim is zero-padded up to 8 lanes in the wrapper (zeros change
+    neither scores nor context);
+  * backward: `jax.custom_vjp` recomputes through the einsum formulation
+    (XLA autodiff) — standard fused-forward / recompute-backward scheme;
+    attention dropout is 0.0 in every reference config so the kernel only
+    serves the no-dropout path (`ops.attention` guards dispatch).
+
+Kernel-language details follow the Pallas TPU guide (pallas_guide.md):
+VMEM BlockSpecs, static shapes, masked softmax over the padded lane tail.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+#: batch-heads processed per program instance.
+BH_BLOCK = 16
+#: minimum head_dim lanes fed to the kernel (zero-padded below this).
+MIN_HD = 8
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """One block: q/k/v/o refs are (BH_BLOCK, S, hd_pad) in VMEM."""
+    S = q_ref.shape[1]
+
+    def body(b, _):
+        q = q_ref[b]                                   # (S, hd)
+        k = k_ref[b]
+        v = v_ref[b]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale       # (S, S)
+        probs = jax.nn.softmax(scores, axis=-1)
+        o_ref[b] = jax.lax.dot_general(
+            probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, q_ref.shape[0], body, 0)
+
+
+def _fused_attention_impl(q: jax.Array, k: jax.Array,
+                          v: jax.Array) -> jax.Array:
+    """q, k, v: (..., H, S, hd) -> context (..., H, S, hd)."""
+    orig_shape = q.shape
+    *lead, S, hd = q.shape
+    scale = 1.0 / math.sqrt(hd)        # true head_dim, before padding
+
+    bh = 1
+    for d in lead:
+        bh *= d
+    q2 = q.reshape(bh, S, hd)
+    k2 = k.reshape(bh, S, hd)
+    v2 = v.reshape(bh, S, hd)
+
+    hd_pad = max(hd, MIN_HD)
+    if hd_pad != hd:
+        pad = [(0, 0), (0, 0), (0, hd_pad - hd)]
+        q2, k2, v2 = (jnp.pad(a, pad) for a in (q2, k2, v2))
+
+    bh_pad = -(-bh // BH_BLOCK) * BH_BLOCK
+    if bh_pad != bh:
+        pad = [(0, bh_pad - bh), (0, 0), (0, 0)]
+        q2, k2, v2 = (jnp.pad(a, pad) for a in (q2, k2, v2))
+
+    grid = (bh_pad // BH_BLOCK,)
+    spec = pl.BlockSpec((BH_BLOCK, S, hd_pad), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_attention_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bh_pad, S, hd_pad), q2.dtype),
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * bh_pad * S * S * hd_pad,
+            bytes_accessed=4 * bh_pad * S * hd_pad * 4,
+            transcendentals=bh_pad * S * S,
+        ),
+    )(q2, k2, v2)
+    return out[:bh, :, :hd].reshape(orig_shape)
+
+
+def _reference_attention(q, k, v):
+    hd = q.shape[-1]
+    scores = jnp.einsum("...hqd,...hkd->...hqk", q, k) / math.sqrt(hd)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("...hqk,...hkd->...hqd", probs, v)
+
+
+@jax.custom_vjp
+def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    return _fused_attention_impl(q, k, v)
+
+
+def _fwd(q, k, v):
+    return _fused_attention_impl(q, k, v), (q, k, v)
+
+
+def _bwd(residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(_reference_attention, q, k, v)
+    return vjp(g)
+
+
+fused_attention.defvjp(_fwd, _bwd)

@@ -306,20 +306,45 @@ def run_cv_sweep(args) -> Dict[int, Dict[str, Dict[str, float]]]:
                                             else "none"))
     data = stack_folds(pool, folds, hyper)
 
+    import json
+    import os
+
+    from vit3d_ensemble_tpu.utils.profiling import profile_to
+
+    state_dir = os.path.join(args.output_dir, "sweep_state")
+    os.makedirs(state_dir, exist_ok=True)
+
     results: Dict[int, Dict[str, Dict[str, float]]] = {}
-    for group in group_configs(range(1, 19)):
-        logger.info("training group (D=%d, k=%d): confs %s",
-                    group.hidden_size, group.num_heads, group.confs)
-        res = run_group(group, data, hyper, args.img_size)
-        for g, conf in enumerate(group.confs):
-            results[conf] = {}
-            for f in range(data.n_folds):
-                results[conf][f"CV {f + 1}"] = res.metrics_dict(g, f)
-                ckpt = baseline_ckpt_path(args.output_dir, "cv_baseline",
-                                          conf, f"cv{f + 1}")
-                save_pytree(ckpt, unpad_params(
-                    jax.tree.map(lambda x: x[g, f], res.best_params),
-                    group, g, args.img_size))
-            logger.info("conf %d median AUROC over folds: %.4f", conf,
-                        float(np.median(res.best_metrics[g, :, 3])))
+    with profile_to(getattr(args, "profile_dir", None)):
+        for group in group_configs(range(1, 19)):
+            marker = os.path.join(
+                state_dir,
+                f"cv_group_{group.hidden_size}_{group.num_heads}.json")
+            if getattr(args, "resume", False) and os.path.exists(marker):
+                # elastic recovery: this group already completed in a
+                # previous (possibly preempted) run — reload its results.
+                with open(marker) as f:
+                    saved = json.load(f)
+                results.update({int(k): v for k, v in saved.items()})
+                logger.info("resume: skipping completed group (D=%d, k=%d)",
+                            group.hidden_size, group.num_heads)
+                continue
+            logger.info("training group (D=%d, k=%d): confs %s",
+                        group.hidden_size, group.num_heads, group.confs)
+            res = run_group(group, data, hyper, args.img_size)
+            group_results: Dict[int, Dict[str, Dict[str, float]]] = {}
+            for g, conf in enumerate(group.confs):
+                group_results[conf] = {}
+                for f in range(data.n_folds):
+                    group_results[conf][f"CV {f + 1}"] = res.metrics_dict(g, f)
+                    ckpt = baseline_ckpt_path(args.output_dir, "cv_baseline",
+                                              conf, f"cv{f + 1}")
+                    save_pytree(ckpt, unpad_params(
+                        jax.tree.map(lambda x: x[g, f], res.best_params),
+                        group, g, args.img_size))
+                logger.info("conf %d median AUROC over folds: %.4f", conf,
+                            float(np.median(res.best_metrics[g, :, 3])))
+            with open(marker, "w") as f:
+                json.dump(group_results, f)
+            results.update(group_results)
     return results
