@@ -27,9 +27,13 @@ def main() -> None:
 
     from vit3d_ensemble_tpu.cli._common import setup_jax_cache
     from vit3d_ensemble_tpu.models import VisionTransformer3D
+    from vit3d_ensemble_tpu.ops.mlp import set_default_mlp_impl
     from vit3d_ensemble_tpu.sweep.stack import group_configs, init_group_params
 
     setup_jax_cache()
+    # fused VMEM-resident FFN kernel: the (tokens, 3072) intermediate —
+    # the model's dominant HBM traffic — never leaves the chip.
+    set_default_mlp_impl("pallas")
 
     B = 128          # volumes per step; all 18 models see every volume
     rng = np.random.default_rng(0)

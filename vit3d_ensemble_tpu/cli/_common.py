@@ -74,6 +74,11 @@ def add_common_flags(parser: argparse.ArgumentParser,
                         default="xla",
                         help="Attention kernel: XLA einsum path or the "
                              "fused Pallas kernel (ops/pallas_attention).")
+    parser.add_argument("--mlp_impl", choices=["xla", "pallas"],
+                        default="xla",
+                        help="FFN path: XLA matmuls or the fused Pallas "
+                             "MLP kernel (deterministic paths only; ~3x "
+                             "at reference widths).")
     parser.add_argument("--profile_dir", default=None,
                         help="Write a Perfetto/XProf device trace of the "
                              "run to this directory.")
@@ -87,8 +92,10 @@ def add_common_flags(parser: argparse.ArgumentParser,
 
 def apply_runtime_flags(args) -> None:
     from vit3d_ensemble_tpu.ops.attention import set_default_attention_impl
+    from vit3d_ensemble_tpu.ops.mlp import set_default_mlp_impl
 
     set_default_attention_impl(getattr(args, "attention_impl", "xla"))
+    set_default_mlp_impl(getattr(args, "mlp_impl", "xla"))
     if getattr(args, "debug_nans", False):
         from vit3d_ensemble_tpu.utils.debug import enable_nan_checking
 

@@ -135,12 +135,38 @@ class Attention(nn.Module):
         return out, probs
 
 
+class _DenseParams(nn.Module):
+    """A Dense layer whose parameters are addressable without running the
+    matmul — lets the fused-MLP path consume fc1/fc2 weights directly while
+    keeping the standard `ffn/fc{1,2}/{kernel,bias}` parameter tree."""
+
+    features: int
+    in_features: int
+    kernel_init: object
+    bias_init: object
+
+    def setup(self):
+        self.kernel = self.param("kernel", self.kernel_init,
+                                 (self.in_features, self.features))
+        self.bias = self.param("bias", self.bias_init, (self.features,))
+
+    def __call__(self, x):
+        return x @ self.kernel + self.bias
+
+
 class Mlp(nn.Module):
     """GELU MLP with the reference's extreme d >> D widths (`modeling.py:102-124`).
 
     `mlp_active` masks trailing hidden columns to exact zero so one compiled
     width (max over the sweep) serves every config: gelu(0)*0-masked columns
     contribute nothing to fc2 and receive zero gradient.
+
+    Inference dispatch: when dropout is inactive and the process default MLP
+    impl is 'pallas' (`ops.set_default_mlp_impl`), the whole fc1->GELU->fc2
+    chain runs as one fused VMEM-resident kernel (`ops/pallas_mlp.py`) —
+    ~3x the XLA path at reference widths, since the (tokens, 3072)
+    intermediate never touches HBM.  Training keeps the XLA path because
+    the reference applies dropout BETWEEN GELU and fc2 (`modeling.py:121`).
     """
 
     config: ViTConfig
@@ -149,23 +175,32 @@ class Mlp(nn.Module):
     def __call__(self, x, *, deterministic: bool,
                  mlp_active: Optional[jax.Array] = None):
         cfg = self.config
-        h = nn.Dense(
-            cfg.mlp_dim,
-            kernel_init=nn.initializers.xavier_uniform(),
-            bias_init=mlp_bias_init,
-            name="fc1",
-        )(x)
+        fc1 = _DenseParams(cfg.mlp_dim, cfg.hidden_size,
+                           nn.initializers.xavier_uniform(), mlp_bias_init,
+                           name="fc1")
+        fc2 = _DenseParams(cfg.hidden_size, cfg.mlp_dim,
+                           nn.initializers.xavier_uniform(), mlp_bias_init,
+                           name="fc2")
+
+        from vit3d_ensemble_tpu.ops.mlp import get_default_mlp_impl
+
+        use_fused = (get_default_mlp_impl() == "pallas"
+                     and (deterministic or cfg.dropout_rate == 0.0))
+        if use_fused:
+            from vit3d_ensemble_tpu.ops.pallas_mlp import fused_mlp
+
+            active = (mlp_active if mlp_active is not None
+                      else jnp.int32(cfg.mlp_dim))
+            return fused_mlp(x, fc1.kernel, fc1.bias, fc2.kernel, fc2.bias,
+                             active)
+
+        h = fc1(x)
         h = nn.gelu(h, approximate=False)  # torch F.gelu default is exact erf
         if mlp_active is not None:
             col = jnp.arange(cfg.mlp_dim)
             h = h * (col < mlp_active).astype(h.dtype)
         h = nn.Dropout(rate=cfg.dropout_rate)(h, deterministic=deterministic)
-        h = nn.Dense(
-            cfg.hidden_size,
-            kernel_init=nn.initializers.xavier_uniform(),
-            bias_init=mlp_bias_init,
-            name="fc2",
-        )(h)
+        h = fc2(h)
         h = nn.Dropout(rate=cfg.dropout_rate)(h, deterministic=deterministic)
         return h
 
