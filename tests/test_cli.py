@@ -1,0 +1,186 @@
+"""End-to-end CLI driver tests on a synthetic dataset (CPU, tiny settings).
+
+Each reference-mirroring driver runs in-process via main(argv): data loading
+from PNG folders, training, checkpointing, reports — the full path minus
+scale.  img_size=32 keeps CPU runtime sane (4 patches + CLS = 5 tokens).
+"""
+
+import json
+import os
+import zipfile
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    """8 patients x 4 aug folders x 12 PNG slices + all split CSVs."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("cli_data")
+    ds = root / "dataset"
+    rng = np.random.default_rng(0)
+    patients = [f"P-{i:04d}" for i in range(8)]
+    for pi, pat in enumerate(patients):
+        base = rng.integers(0, 200, size=(12, 32, 32), dtype=np.uint8)
+        for folder in ("original", "rotation", "vertical_flip",
+                       "horizontal_flip"):
+            d = ds / pat / folder
+            d.mkdir(parents=True)
+            for j in range(1, 13):
+                Image.fromarray(base[j - 1]).save(d / f"1-{j:02d}.png")
+
+    def manifest(pats, labels):
+        return pd.DataFrame({
+            "Patient": pats,
+            "Label": labels,
+            "Zone": ["PZ"] * len(pats),
+            "GG": [2] * len(pats),
+            "z0": [5] * len(pats),
+            "Lesion": [1] * len(pats),
+        })
+
+    fixed = root / "csv_files" / "fixed_split"
+    cv = root / "csv_files" / "cross_validation"
+    fixed.mkdir(parents=True)
+    cv.mkdir(parents=True)
+    labels = ["LG", "HG"] * 4
+    manifest(patients[:6], labels[:6]).to_csv(fixed / "training.csv",
+                                              index=False)
+    manifest(patients[6:], labels[6:]).to_csv(fixed / "validation.csv",
+                                              index=False)
+    manifest(patients[6:], labels[6:]).to_csv(fixed / "test.csv",
+                                              index=False)
+    for k in (1, 2):
+        manifest(patients[:6], labels[:6]).to_csv(
+            cv / f"training_cv{k}.csv", index=False)
+        manifest(patients[6:], labels[6:]).to_csv(
+            cv / f"validation_cv{k}.csv", index=False)
+    manifest(patients[6:], labels[6:]).to_csv(cv / "test.csv", index=False)
+    return root
+
+
+def _common(synth_root, out, csv_sub):
+    return [
+        "--csv_path", str(synth_root / "csv_files" / csv_sub),
+        "--data_root", str(synth_root / "dataset"),
+        "--output_dir", str(out),
+        "--img_size", "32",
+    ]
+
+
+def test_cli_baseline_whole_dataset(synth_root, tmp_path):
+    from vit3d_ensemble_tpu.cli import train_baseline_whole_dataset as d
+
+    out = tmp_path / "out"
+    res = d.main([
+        "--config", "9", "--num_steps", "4", "--eval_every", "2",
+        "--warmup_steps", "2",
+        *_common(synth_root, out, "fixed_split"),
+    ])
+    assert 9 in res and "AUROC" in res[9]
+    assert (out / "baseline_models" / "conf9" / "conf9.msgpack").exists()
+
+
+def test_cli_baseline_cv_single(synth_root, tmp_path):
+    from vit3d_ensemble_tpu.cli import train_baseline_cv as d
+
+    out = tmp_path / "out"
+    res = d.main([
+        "--config", "9", "--num_cv", "2", "--num_steps", "4",
+        "--eval_every", "2", "--warmup_steps", "2",
+        *_common(synth_root, out, "cross_validation"),
+    ])
+    assert set(res) == {"CV 1", "CV 2"}
+    assert (out / "cv_baseline_models" / "conf9" / "cv2.msgpack").exists()
+
+
+def test_cli_baseline_bootstrap(synth_root, tmp_path):
+    from vit3d_ensemble_tpu.cli import train_baseline_bootstrap as d
+
+    out = tmp_path / "out"
+    res = d.main([
+        "--config", "9", "--num_rep", "2", "--num_steps", "4",
+        "--eval_every", "2", "--warmup_steps", "2",
+        *_common(synth_root, out, "fixed_split"),
+    ])
+    assert "conf9" in res and "boot1" in res["conf9"]
+    assert (out / "boot_baseline_models" / "conf9" / "boot1.msgpack").exists()
+    assert (out / "Baseline_Bootstrap.csv").exists()
+
+
+def test_cli_ensemble_pipeline(synth_root, tmp_path):
+    """whole-dataset baselines -> frozen ensemble CV -> test_cv, end to end."""
+    from vit3d_ensemble_tpu.cli import (
+        test_cv as tcv,
+        train_baseline_cv as basecv_d,
+        train_baseline_whole_dataset as base_d,
+        train_ensemble_cv as ens_d,
+        train_ensemble_whole_dataset as ensw_d,
+    )
+
+    out = tmp_path / "out"
+    for c in (1, 2, 3):
+        base_d.main([
+            "--config", str(c), "--num_steps", "2", "--eval_every", "2",
+            "--warmup_steps", "1",
+            *_common(synth_root, out, "fixed_split"),
+        ])
+    basecv_d.main([
+        "--config", "1", "--num_cv", "2", "--num_steps", "2",
+        "--eval_every", "2", "--warmup_steps", "1",
+        *_common(synth_root, out, "cross_validation"),
+    ])
+
+    # frozen 816-style sweep restricted to C(3,3)=1 combination
+    res = ens_d.main([
+        "--max_configs", "4", "--num_epochs", "2", "--num_cv", "2",
+        *_common(synth_root, out, "cross_validation"),
+    ])
+    assert "1_2_3" in res and "CV 2" in res["1_2_3"]
+    assert (out / "Ensemble_CV.csv").exists()
+    with zipfile.ZipFile(out / "Ensemble_CV.xlsx") as z:
+        assert "xl/worksheets/sheet1.xml" in z.namelist()
+
+    # end-to-end ensemble retrain on the fixed split
+    m = ensw_d.main([
+        "--ensemble_conf_list", "1,2,3", "--num_epochs", "2",
+        *_common(synth_root, out, "fixed_split"),
+    ])
+    assert "AUROC" in m
+    assert (out / "best_ensemble_models" / "ensemble_1_2_3" /
+            "best_ensemble_model.msgpack").exists()
+
+    # test driver: baseline + ensemble (frozen meta heads) + statistics
+    res_base, res_ens, stats = tcv.main([
+        "--baseline", "--ensemble", "--conf", "1",
+        "--ensemble_conf_list", "1,2,3", "--cv", "2",
+        *_common(synth_root, out, "cross_validation"),
+    ])
+    assert res_base is not None and "CV 2" in res_base
+    assert res_ens is not None and "CV 1" in res_ens
+    assert "mann_whitney" in stats
+
+
+def test_cli_ensemble_bootstrap(synth_root, tmp_path):
+    from vit3d_ensemble_tpu.cli import (
+        train_baseline_whole_dataset as base_d,
+        train_ensemble_bootstrap as d,
+    )
+
+    out = tmp_path / "out"
+    for c in (1, 2, 3):
+        base_d.main([
+            "--config", str(c), "--num_steps", "2", "--eval_every", "2",
+            "--warmup_steps", "1",
+            *_common(synth_root, out, "fixed_split"),
+        ])
+    val_res, test_res = d.main([
+        "--max_configs", "4", "--num_rep", "2", "--num_epochs", "2",
+        *_common(synth_root, out, "fixed_split"),
+    ])
+    assert "1_2_3" in val_res and "boot1" in val_res["1_2_3"]
+    assert "1_2_3" in test_res
+    assert (out / "Ensemble_Bootstrap_test.csv").exists()

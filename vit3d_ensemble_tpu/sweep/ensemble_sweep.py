@@ -86,10 +86,19 @@ def compute_member_logits(
             return jax.vmap(one, in_axes=(0, 0, 0))(params, mlp_active,
                                                     layers_active)
 
+        # pad every chunk to `batch_size` so ONE compiled program serves all
+        # splits/replicates (arbitrary N would trigger a fresh XLA compile
+        # per distinct shape — minutes each over the remote-device link).
         chunks = []
         for s in range(0, volumes.shape[0], batch_size):
+            chunk = volumes[s:s + batch_size]
+            n_valid = chunk.shape[0]
+            if n_valid < batch_size:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((batch_size - n_valid,)
+                                     + chunk.shape[1:], chunk.dtype)])
             chunks.append(np.asarray(fwd(stacked,
-                                         jnp.asarray(volumes[s:s + batch_size]))))
+                                         jnp.asarray(chunk)))[:, :n_valid])
         logits = np.concatenate(chunks, axis=1)       # (G, N)
         for g, c in enumerate(group.confs):
             out[c] = logits[g]

@@ -94,50 +94,98 @@ def train_ensemble(
     cross-combination best_choice carry-over (defect D9/D19 territory); by
     default a fresh tracker per call (the intended semantics).
     """
+    import optax
+
+    from vit3d_ensemble_tpu.metrics.jax_metrics import compute_eval_metrics
+    from vit3d_ensemble_tpu.sweep.engine import METRIC_KEYS, _metrics_vector
+    from vit3d_ensemble_tpu.train.selection import (
+        device_best_init,
+        device_consider,
+    )
+
     model, params = init_ensemble(configs, member_params, seed)
     tx = adam(learning_rate)
-    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
-    train_step = make_ensemble_train_step(model)
-    eval_step = make_ensemble_eval_step(model)
 
-    vols = jax.device_put(train_split.volumes)
-    labels = jax.device_put(train_split.labels.astype(np.float32))
-    val_vols = jax.device_put(val_split.volumes)
-    val_labels = val_split.labels
+    vols = jnp.asarray(train_split.volumes)
+    labels = jnp.asarray(train_split.labels.astype(np.float32))
+    val_vols = jnp.asarray(val_split.volumes)
+    val_labels_np = val_split.labels
+    val_labels = jnp.asarray(val_labels_np.astype(np.float32))
 
+    # precompute the whole run's batch schedule: (E, S, B) + masks, epoch
+    # reshuffles matching the reference's per-epoch RandomSampler.
     batcher = EpochBatcher(len(train_split), train_batch_size, seed=seed)
-    rng = jax.random.key(seed)
-    tracker = tracker if tracker is not None else BestTracker()
+    S = batcher.steps_per_epoch
+    B = train_batch_size
+    idx_all = np.zeros((num_epochs, S, B), np.int32)
+    msk_all = np.zeros((num_epochs, S, B), np.float32)
+    for e in range(num_epochs):
+        for s, (idx, mask) in enumerate(batcher.epoch()):
+            idx_all[e, s] = idx
+            msk_all[e, s] = mask
 
-    for epoch in range(num_epochs):
-        for idx, mask in batcher.epoch():
+    # one compiled program: scan(epochs){ scan(steps){adam step}; eval;
+    # select } — the reference's loop host-dispatches every batch
+    # (`train_ensemble_cv.py:131-196`), ruinous over a remote-device link.
+    @jax.jit
+    def run(params, idx_all, msk_all, rng):
+        def loss_fn(p, bv, bl, bm, drop_rng):
+            probs = model.apply({"params": p}, bv, deterministic=False,
+                                rngs={"dropout": drop_rng}).reshape(-1)
+            pc = jnp.clip(probs, 1e-12, 1 - 1e-12)
+            per = -(bl * jnp.log(pc) + (1 - bl) * jnp.log(1 - pc))
+            return jnp.sum(per * bm) / jnp.maximum(jnp.sum(bm), 1.0)
+
+        def one_step(carry, im):
+            p, opt, rng = carry
+            idx, bm = im
             rng, sub = jax.random.split(rng)
-            state, loss = train_step(
-                state, vols[jnp.asarray(idx)], labels[jnp.asarray(idx)],
-                jnp.asarray(mask), sub)
-        probs = np.asarray(eval_step(state.params, val_vols))
-        preds = (probs > 0.5).astype(np.int32)
-        m = eleven_metrics(val_labels, preds, probs)
-        accepted = tracker.consider(
-            m["Specificity"], m["Sensitivity"], m["AUROC"], m,
-            payload=((jax.device_get(state.params) if keep_best_params
-                      else None),
-                     val_labels.copy(), preds, probs))
-        if accepted and save_path is not None:
-            save_pytree(save_path, state.params)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                p, vols[idx], labels[idx], bm, sub)
+            updates, opt = tx.update(grads, opt, p)
+            return (optax.apply_updates(p, updates), opt, rng), loss
 
-    if tracker.payload is None:
-        probs = np.asarray(eval_step(state.params, val_vols))
-        preds = (probs > 0.5).astype(np.int32)
-        m = eleven_metrics(val_labels, preds, probs)
-        tracker.consider(m["Specificity"], m["Sensitivity"], m["AUROC"], m,
-                         payload=(jax.device_get(state.params)
-                                  if keep_best_params else None,
-                                  val_labels.copy(), preds, probs))
-        if save_path is not None:
-            save_pytree(save_path, state.params)
+        def evaluate(p):
+            probs = model.apply({"params": p}, val_vols,
+                                deterministic=True).reshape(-1)
+            return _metrics_vector(
+                compute_eval_metrics(probs, val_labels)), probs
 
-    best_params, tl, pl, cp = tracker.payload
-    return EnsembleResult(metrics=tracker.best_metrics, true_labels=tl,
-                          predicted_labels=pl, class_probabilities=cp,
-                          best_params=best_params)
+        def epoch_body(carry, chunk):
+            inner, best = carry
+            inner, losses = jax.lax.scan(one_step, inner, chunk)
+            mvec, probs = evaluate(inner[0])
+            best = device_consider(best, mvec, probs, inner[0],
+                                   jnp.bool_(False))
+            return (inner, best), losses[-1]
+
+        opt = tx.init(params)
+        best0 = device_best_init(11, val_vols.shape[0], params)
+        (inner, best), _ = jax.lax.scan(epoch_body, ((params, opt, rng),
+                                                     best0),
+                                        (idx_all, msk_all))
+        mvec, probs = evaluate(inner[0])
+        best = device_consider(best, mvec, probs, inner[0], ~best["found"])
+        return best
+
+    best = run(params, jnp.asarray(idx_all), jnp.asarray(msk_all),
+               jax.random.key(seed))
+    mvec = np.asarray(best["metrics"])
+    cp = np.asarray(best["probs"])
+    pl = (cp > 0.5).astype(np.int32)
+    metrics = {k: float(v) for k, v in zip(METRIC_KEYS, mvec)}
+    best_params = jax.device_get(best["payload"])
+    if save_path is not None:
+        save_pytree(save_path, best_params)
+
+    # keep the host tracker contract for callers that thread one across
+    # folds/combinations (reference defect D9/D19 semantics)
+    tracker = tracker if tracker is not None else BestTracker()
+    tracker.consider(metrics["Specificity"], metrics["Sensitivity"],
+                     metrics["AUROC"], metrics,
+                     payload=(best_params, val_labels_np.copy(), pl, cp))
+
+    return EnsembleResult(
+        metrics=metrics, true_labels=val_labels_np.copy(),
+        predicted_labels=pl, class_probabilities=cp,
+        best_params=best_params if keep_best_params else None)

@@ -132,15 +132,19 @@ def train_baseline(
                 save_pytree(save_path, state.params)
                 logger.info("saved checkpoint to %s", save_path)
 
-    if tracker.payload is None:   # no eval ever ran (num_steps < eval_every)
+    if tracker.payload is None:
+        # No eval ever ACCEPTED (num_steps < eval_every, or every AUROC was
+        # exactly 0.0 and unconstrained — where the reference crashes on an
+        # unbound `tl`, defect D9 family): force-take a final evaluation so
+        # results are always defined.
         probs, _ = eval_step(state.params, val_vols)
         probs = np.asarray(probs)
         preds = (probs > 0.5).astype(np.int32)
         m = eleven_metrics(val_labels, preds, probs)
-        tracker.consider(m["Specificity"], m["Sensitivity"], m["AUROC"], m,
-                         payload=(jax.device_get(state.params)
-                                  if keep_best_params else None,
-                                  val_labels.copy(), preds, probs))
+        tracker._take(m["AUROC"], m,
+                      payload=(jax.device_get(state.params)
+                               if keep_best_params else None,
+                               val_labels.copy(), preds, probs))
         if save_path is not None:
             save_pytree(save_path, state.params)
 
