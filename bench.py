@@ -42,6 +42,7 @@ def main() -> None:
     x = jnp.asarray(rng.normal(size=(B, 128, 128, 5, 1))
                     .astype(np.float32)).astype(jnp.bfloat16)
 
+    iters = 20
     fwds = []
     for group in group_configs(range(1, 19)):
         template = group.template_config(128)
@@ -51,26 +52,36 @@ def main() -> None:
         mlp_a = jnp.asarray(group.mlp_dims, jnp.int32)
         lay_a = jnp.asarray(group.num_layers, jnp.int32)
 
+        # all iterations inside one scanned program, each iteration with an
+        # input-dependent perturbation: repeated identical dispatches can be
+        # memoized by the remote executor and time as ~0.
         @jax.jit
-        def fwd(p, vols, ml=mlp_a, la=lay_a, model=model):
-            def one(pp, m, l):
-                return model.apply({"params": pp}, vols, deterministic=True,
+        def fwd_n(p, vols, ml=mlp_a, la=lay_a, model=model):
+            def one(pp, m, l, v):
+                return model.apply({"params": pp}, v, deterministic=True,
                                    num_layers_active=l,
                                    mlp_active=m).logits.reshape(-1)
 
-            return jax.vmap(one, in_axes=(0, 0, 0))(p, ml, la)
+            def body(acc, i):
+                vi = vols * (1.0 + i.astype(vols.dtype) * 1e-6)
+                out = jax.vmap(one, in_axes=(0, 0, 0, None))(p, ml, la, vi)
+                return acc + jnp.sum(out), None
 
-        fwds.append((fwd, params))
+            acc, _ = jax.lax.scan(body, jnp.bfloat16(0.0),
+                                  jnp.arange(iters))
+            return acc
 
-    # warmup (compile)
-    for fwd, params in fwds:
-        jax.block_until_ready(fwd(params, x))
+        fwds.append((fwd_n, params))
 
-    iters = 20
+    # warmup (compile) — NOTE: on this remote-device tunnel
+    # block_until_ready does NOT synchronize; a host scalar fetch does.
+    for fwd_n, params in fwds:
+        float(fwd_n(params, x))
+
     t0 = time.perf_counter()
-    for _ in range(iters):
-        outs = [fwd(params, x) for fwd, params in fwds]
-    jax.block_until_ready(outs)
+    acc = 0.0
+    for fwd_n, params in fwds:
+        acc += float(fwd_n(params, x))      # scalar fetch = true sync
     dt = time.perf_counter() - t0
 
     volumes_per_sec = B * iters / dt

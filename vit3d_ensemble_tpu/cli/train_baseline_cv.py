@@ -33,6 +33,7 @@ from vit3d_ensemble_tpu.metrics.host import (
     calculate_confidence_metrics,
 )
 from vit3d_ensemble_tpu.train.trainer import train_baseline
+from vit3d_ensemble_tpu.utils.metrics_log import default_logger
 
 logger = logging.getLogger("train_baseline_cv")
 
@@ -68,6 +69,8 @@ def run_single_config(args) -> dict:
             weight_decay=args.weight_decay,
             warmup_steps=args.warmup_steps, decay_type=args.decay_type,
             seed=args.seed, save_path=save_path, keep_best_params=False,
+            gradient_accumulation_steps=args.gradient_accumulation_steps,
+            metrics_logger=default_logger(args.output_dir),
         )
         # confidence metrics on the best eval (`train_baseline_cv.py:281-284`)
         csp, cse = calculate_confidence_metrics(

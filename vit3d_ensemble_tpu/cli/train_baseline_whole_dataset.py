@@ -26,6 +26,7 @@ from vit3d_ensemble_tpu.cli._common import (
 from vit3d_ensemble_tpu.configs import ViTConfig
 from vit3d_ensemble_tpu.data import build_train_val
 from vit3d_ensemble_tpu.train.trainer import train_baseline
+from vit3d_ensemble_tpu.utils.metrics_log import default_logger
 
 logger = logging.getLogger("train_baseline_whole_dataset")
 
@@ -62,6 +63,8 @@ def main(argv=None):
             warmup_steps=args.warmup_steps, decay_type=args.decay_type,
             seed=args.seed, save_path=save_path, keep_best_params=False,
             balanced_weights=False,
+            gradient_accumulation_steps=args.gradient_accumulation_steps,
+            metrics_logger=default_logger(args.output_dir),
         )
         logger.info("conf %d (%.3fM params) best metrics:", conf,
                     res.num_params_m)

@@ -145,3 +145,24 @@ def get_config(ps: int, dim: int, n: int, hs: int, nh: int,
         num_layers=n,
         img_size=img_size,
     )
+
+
+def vit_b16_128cubed() -> ViTConfig:
+    """The BASELINE.json stretch-goal configuration: 3D ViT-B/16 on full
+    128^3 volumes — (16,16,16) patches -> 8*8*8 = 512 tokens + CLS, ViT-B
+    dimensions (D=768, 12 heads, mlp 3072, 12 layers), ~90M params.
+
+    The model code is scale-generic: token count derives from
+    img_size/z_size/patch_size (the reference hard-codes z=5,
+    `modeling.py:134`), and the fused attention/MLP kernels tile, so this
+    config runs through the identical forward path as the tiny baselines.
+    """
+    return ViTConfig(
+        patch_size=(16, 16, 16),
+        hidden_size=768,
+        mlp_dim=3072,
+        num_heads=12,
+        num_layers=12,
+        img_size=128,
+        z_size=128,
+    )

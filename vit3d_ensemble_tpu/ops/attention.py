@@ -12,15 +12,16 @@ MXU's native 128x128 tile.  Two implementations are provided:
   * ``pallas`` — a single fused kernel (QK^T, softmax, PV in one VMEM
                  round-trip).  See `ops/pallas_attention.py`.
 
-Measured on a v5e chip (f32, 50-iter steady state, 2026-08-16):
-  (B=256, H=4, S=65, hd=16):  xla 1.21ms   pallas 1.03ms   (kernel wins)
-  (B=256, H=8, S=65, hd=4):   xla 0.85ms   pallas 2.52ms   (XLA wins)
-  (B=1024, H=4, S=65, hd=16): xla 1.51ms   pallas 3.12ms   (XLA wins)
+Measured on a v5e chip (f32, scanned 50-iter programs with true host-fetch
+sync, 2026-08-16):
+  (B=256, H=8, S=65, hd=4):   xla 0.61ms   pallas 2.22ms
+  (B=256, H=4, S=65, hd=16):  xla 0.57ms   pallas 0.97ms
 The default is therefore ``xla``: at 65 tokens XLA's batched-matmul path
-already keeps the MXU busier than the kernel's per-head loop.  The kernel
-remains available (--attention_impl pallas) and is the scaffold for the
-128^3-volume stretch regime where sequence length grows ~25x and fusion
-starts to pay.
+keeps the MXU busier than the kernel's per-head loop.  The kernel remains
+available (--attention_impl pallas) as the scaffold for the 128^3-volume
+stretch regime (513+ tokens) where fusing away the (BH, S, S) probability
+round-trip starts to pay.  (Contrast ops/pallas_mlp.py, where fusion wins
+3x — the FFN intermediate is where this architecture's bytes are.)
 
 Both return the attention probabilities when ``return_probs`` is set, to
 preserve the reference's ``vis=True`` API (`modeling.py:90`).

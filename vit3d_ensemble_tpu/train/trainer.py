@@ -86,12 +86,25 @@ def train_baseline(
     save_path: Optional[str] = None,
     keep_best_params: bool = True,
     balanced_weights: bool = True,
+    gradient_accumulation_steps: int = 1,
+    metrics_logger=None,
 ) -> BaselineResult:
-    """Train one baseline config on one (train, val) split."""
+    """Train one baseline config on one (train, val) split.
+
+    gradient_accumulation_steps > 1 averages gradients over k micro-batches
+    per optimizer update (optax.MultiSteps) — the reference flag's INTENDED
+    semantics; as shipped it trains nothing (defect D14,
+    `train_baseline_cv.py:173-176`).
+    """
+    import optax
+
     model, params = init_baseline(config, seed)
     schedule = make_schedule(decay_type, learning_rate, warmup_steps,
                              num_steps)
     tx = sgd_momentum(schedule, momentum=0.9, weight_decay=weight_decay)
+    accum = max(1, int(gradient_accumulation_steps))
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
     n_params = sum(a.size for a in jax.tree.leaves(params)) / 1e6
 
@@ -108,11 +121,15 @@ def train_baseline(
     tracker = BestTracker()
     loss = jnp.float32(0.0)
 
-    for gstep, (idx, mask) in enumerate(batcher.batches(num_steps), start=1):
+    for micro, (idx, mask) in enumerate(
+            batcher.batches(num_steps * accum), start=1):
         dropout_rng, step_rng = jax.random.split(dropout_rng)
         bv = vols[jnp.asarray(idx)]
         bl = labels[jnp.asarray(idx)]
         state, loss = train_step(state, bv, bl, jnp.asarray(mask), step_rng)
+        if micro % accum:
+            continue
+        gstep = micro // accum          # optimizer updates completed
 
         if gstep % eval_every == 0 or gstep == num_steps:
             probs, _ = eval_step(state.params, val_vols)
@@ -120,6 +137,9 @@ def train_baseline(
             preds = (probs > 0.5).astype(np.int32)
             m = eleven_metrics(val_labels, preds, probs)
             logger.info("step %d AUROC: %s", gstep, m["AUROC"])
+            if metrics_logger is not None:
+                metrics_logger.log("eval", step=gstep,
+                                   loss=float(loss), **m)
             accepted = tracker.consider(
                 m["Specificity"], m["Sensitivity"], m["AUROC"], m,
                 payload=(
