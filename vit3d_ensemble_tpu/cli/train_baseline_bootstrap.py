@@ -35,7 +35,7 @@ from vit3d_ensemble_tpu.sweep.engine import (
     run_group,
     stack_folds,
 )
-from vit3d_ensemble_tpu.sweep.stack import group_configs, unpad_params
+from vit3d_ensemble_tpu.sweep.stack import group_configs
 
 logger = logging.getLogger("train_baseline_bootstrap")
 
@@ -76,15 +76,16 @@ def main(argv=None) -> Dict:
         logger.info("training group (D=%d, k=%d): confs %s",
                     group.hidden_size, group.num_heads, group.confs)
         res = run_group(group, data, hyper, args.img_size)
+        from vit3d_ensemble_tpu.sweep.stack import unpad_group_params
+
+        members = unpad_group_params(res.best_params, group, args.img_size)
         for g, conf in enumerate(group.confs):
             results[f"conf{conf}"] = {}
             for r in range(args.num_rep):
                 results[f"conf{conf}"][f"boot{r}"] = res.metrics_dict(g, r)
                 ckpt = baseline_ckpt_path(args.output_dir, "boot_baseline",
                                           conf, f"boot{r}")
-                save_pytree(ckpt, unpad_params(
-                    jax.tree.map(lambda x: x[g, r], res.best_params),
-                    group, g, args.img_size))
+                save_pytree(ckpt, jax.tree.map(lambda x: x[r], members[g]))
             med = float(np.median(res.best_metrics[g, :, 3]))
             logger.info("conf %d median AUROC over %d replicates: %.4f",
                         conf, args.num_rep, med)

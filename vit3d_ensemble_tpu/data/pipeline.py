@@ -27,7 +27,7 @@ augmentation rows follow the bootstrapped rows, which is the intent.
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import numpy as np
 import pandas as pd

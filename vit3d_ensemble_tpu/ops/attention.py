@@ -29,7 +29,6 @@ preserve the reference's ``vis=True`` API (`modeling.py:90`).
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Optional, Tuple
 

@@ -19,7 +19,6 @@ drops into training code unchanged (fused forward, exact gradients).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,6 @@ from vit3d_ensemble_tpu.sweep.stack import (
     ConfigGroup,
     group_configs,
     init_group_params,
-    unpad_params,
 )
 from vit3d_ensemble_tpu.train.optim import sgd_momentum
 from vit3d_ensemble_tpu.train.schedules import make_schedule
@@ -143,7 +142,10 @@ class GroupResult:
     group: ConfigGroup
     best_metrics: np.ndarray     # (G, F, 11)
     best_probs: np.ndarray       # (G, F, V)
-    best_params: dict            # stacked padded, leading (G, F)
+    best_params: dict            # stacked padded, leading (G, F) — kept ON
+    #                              DEVICE; crop+fetch true shapes with
+    #                              stack.unpad_group_params (padded fetch
+    #                              moves ~4x the bytes over the link)
     final_loss: np.ndarray       # (G, F)
 
     def metrics_dict(self, g: int, f: int) -> Dict[str, float]:
@@ -278,7 +280,7 @@ def run_group(group: ConfigGroup, data: FoldData, hyper: SweepHyper,
         group=group,
         best_metrics=np.asarray(out["metrics"]),
         best_probs=np.asarray(out["probs"]),
-        best_params=jax.device_get(out["params"]),
+        best_params=out["params"],
         final_loss=np.asarray(out["loss"]),
     )
 
@@ -332,6 +334,10 @@ def run_cv_sweep(args) -> Dict[int, Dict[str, Dict[str, float]]]:
             logger.info("training group (D=%d, k=%d): confs %s",
                         group.hidden_size, group.num_heads, group.confs)
             res = run_group(group, data, hyper, args.img_size)
+            from vit3d_ensemble_tpu.sweep.stack import unpad_group_params
+
+            members = unpad_group_params(res.best_params, group,
+                                         args.img_size)
             group_results: Dict[int, Dict[str, Dict[str, float]]] = {}
             for g, conf in enumerate(group.confs):
                 group_results[conf] = {}
@@ -339,9 +345,8 @@ def run_cv_sweep(args) -> Dict[int, Dict[str, Dict[str, float]]]:
                     group_results[conf][f"CV {f + 1}"] = res.metrics_dict(g, f)
                     ckpt = baseline_ckpt_path(args.output_dir, "cv_baseline",
                                               conf, f"cv{f + 1}")
-                    save_pytree(ckpt, unpad_params(
-                        jax.tree.map(lambda x: x[g, f], res.best_params),
-                        group, g, args.img_size))
+                    save_pytree(ckpt, jax.tree.map(lambda x: x[f],
+                                                   members[g]))
                 logger.info("conf %d median AUROC over folds: %.4f", conf,
                             float(np.median(res.best_metrics[g, :, 3])))
             with open(marker, "w") as f:

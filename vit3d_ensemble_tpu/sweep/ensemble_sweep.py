@@ -19,18 +19,17 @@ from __future__ import annotations
 import dataclasses
 import itertools
 import logging
-from typing import Dict, Mapping, Optional, Sequence, Tuple
+from typing import Dict, Mapping, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from vit3d_ensemble_tpu.configs import ViTConfig
 from vit3d_ensemble_tpu.metrics.jax_metrics import compute_eval_metrics
 from vit3d_ensemble_tpu.models import VisionTransformer3D
-from vit3d_ensemble_tpu.sweep.engine import METRIC_KEYS, _metrics_vector
-from vit3d_ensemble_tpu.sweep.stack import ConfigGroup, _pad_to, group_configs
+from vit3d_ensemble_tpu.sweep.engine import _metrics_vector
+from vit3d_ensemble_tpu.sweep.stack import _pad_to, group_configs
 from vit3d_ensemble_tpu.train.selection import (
     device_best_init,
     device_consider,

@@ -131,6 +131,42 @@ def init_group_params(group: ConfigGroup, n_folds: int, seed: int,
     return jax.jit(build)()
 
 
+def unpad_group_params(padded: dict, group: ConfigGroup,
+                       img_size: int = 128, lead_axes: int = 1):
+    """Crop EVERY member's true-shape tree out of stacked padded params in
+    one jitted call.
+
+    padded: leading axes (G, *lead) — e.g. (G, F) from the sweep engine.
+    Returns a list of G trees, each with the `lead_axes` leading axes kept
+    (per-fold) and trailing dims cropped to the member's true shapes.
+    Doing this on device in one program matters: per-leaf eager slicing is
+    ~26 leaves x G dispatches over the remote link, and fetching padded
+    params moves ~4x the bytes.
+    """
+    targets = []
+    for i in range(len(group.confs)):
+        cfg = group.member_config(i, img_size)
+        model = VisionTransformer3D(cfg, zero_head=True, vis=False)
+        dummy = jnp.zeros((1, img_size, img_size, cfg.z_size,
+                           cfg.in_channels))
+        targets.append(jax.eval_shape(
+            lambda m=model: m.init({"params": jax.random.key(0)},
+                                   dummy)["params"]))
+
+    @jax.jit
+    def crop_all(padded):
+        out = []
+        for i, tshapes in enumerate(targets):
+            def crop(p, t):
+                lead = tuple(slice(None) for _ in range(lead_axes))
+                return p[(i,) + lead + tuple(slice(0, s) for s in t.shape)]
+
+            out.append(jax.tree.map(crop, padded, tshapes))
+        return tuple(out)
+
+    return jax.device_get(crop_all(padded))
+
+
 def unpad_params(padded: dict, group: ConfigGroup, i: int,
                  img_size: int = 128) -> dict:
     """Slice one member's TRUE-shape param tree back out of padded params."""

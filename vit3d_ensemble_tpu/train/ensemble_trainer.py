@@ -32,15 +32,9 @@ import numpy as np
 from vit3d_ensemble_tpu.checkpoint import save_pytree
 from vit3d_ensemble_tpu.configs import ViTConfig
 from vit3d_ensemble_tpu.data import EpochBatcher, SplitArrays
-from vit3d_ensemble_tpu.metrics.host import eleven_metrics
 from vit3d_ensemble_tpu.models import TransformerEnsemble
 from vit3d_ensemble_tpu.train.optim import adam
 from vit3d_ensemble_tpu.train.selection import BestTracker
-from vit3d_ensemble_tpu.train.steps import (
-    TrainState,
-    make_ensemble_eval_step,
-    make_ensemble_train_step,
-)
 
 logger = logging.getLogger(__name__)
 

@@ -10,15 +10,12 @@ logits and features, `:79-80` — here a single forward returns both).
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
-import optax
 from flax.training import train_state
 
-from vit3d_ensemble_tpu.train.losses import bce_on_probs, bce_with_logits
 
 
 class TrainState(train_state.TrainState):

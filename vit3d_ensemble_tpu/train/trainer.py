@@ -30,16 +30,9 @@ import numpy as np
 from vit3d_ensemble_tpu.checkpoint import save_pytree
 from vit3d_ensemble_tpu.configs import ViTConfig
 from vit3d_ensemble_tpu.data import EpochBatcher, SplitArrays
-from vit3d_ensemble_tpu.metrics.host import eleven_metrics
 from vit3d_ensemble_tpu.models import VisionTransformer3D
 from vit3d_ensemble_tpu.train.optim import sgd_momentum
 from vit3d_ensemble_tpu.train.schedules import make_schedule
-from vit3d_ensemble_tpu.train.selection import BestTracker
-from vit3d_ensemble_tpu.train.steps import (
-    TrainState,
-    make_baseline_eval_step,
-    make_baseline_train_step,
-)
 
 logger = logging.getLogger(__name__)
 
@@ -105,76 +98,118 @@ def train_baseline(
     accum = max(1, int(gradient_accumulation_steps))
     if accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
-    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
     n_params = sum(a.size for a in jax.tree.leaves(params)) / 1e6
 
-    train_step = make_baseline_train_step(model, balanced_weights)
-    eval_step = make_baseline_eval_step(model)
+    from vit3d_ensemble_tpu.metrics.jax_metrics import compute_eval_metrics
+    from vit3d_ensemble_tpu.sweep.engine import METRIC_KEYS, _metrics_vector
+    from vit3d_ensemble_tpu.train.selection import (
+        device_best_init,
+        device_consider,
+    )
+    from vit3d_ensemble_tpu.train.steps import (
+        masked_balanced_pos_weight,
+        masked_bce_with_logits,
+    )
 
-    vols = jax.device_put(train_split.volumes)
-    labels = jax.device_put(train_split.labels.astype(np.float32))
-    val_vols = jax.device_put(val_split.volumes)
-    val_labels = val_split.labels
+    vols = jnp.asarray(train_split.volumes)
+    labels = jnp.asarray(train_split.labels.astype(np.float32))
+    val_vols = jnp.asarray(val_split.volumes)
+    val_labels_np = val_split.labels
+    val_labels = jnp.asarray(val_labels_np.astype(np.float32))
 
+    # precompute the full micro-batch schedule; eval fires every
+    # `eval_every` OPTIMIZER updates (= eval_every * accum micro-steps),
+    # matching the reference's global_step gating.
+    micro_per_eval = eval_every * accum
+    total_micro = num_steps * accum
+    periods, rem = divmod(total_micro, micro_per_eval)
     batcher = EpochBatcher(len(train_split), train_batch_size, seed=seed)
-    dropout_rng = jax.random.key(seed)
-    tracker = BestTracker()
-    loss = jnp.float32(0.0)
+    B = train_batch_size
+    idx_all = np.zeros((total_micro, B), np.int32)
+    msk_all = np.zeros((total_micro, B), np.float32)
+    for s, (idx, mask) in enumerate(batcher.batches(total_micro)):
+        idx_all[s] = idx
+        msk_all[s] = mask
 
-    for micro, (idx, mask) in enumerate(
-            batcher.batches(num_steps * accum), start=1):
-        dropout_rng, step_rng = jax.random.split(dropout_rng)
-        bv = vols[jnp.asarray(idx)]
-        bl = labels[jnp.asarray(idx)]
-        state, loss = train_step(state, bv, bl, jnp.asarray(mask), step_rng)
-        if micro % accum:
-            continue
-        gstep = micro // accum          # optimizer updates completed
+    # ONE compiled program: scan(periods){ scan(micro){sgd step}; eval;
+    # select } — the host loop paid several link round-trips per step.
+    @jax.jit
+    def run(params, rng):
+        def loss_fn(p, bv, bl, bm, drop_rng):
+            out = model.apply({"params": p}, bv, deterministic=False,
+                              rngs={"dropout": drop_rng})
+            pw = (masked_balanced_pos_weight(bl, bm)
+                  if balanced_weights else jnp.float32(1.0))
+            return masked_bce_with_logits(out.logits, bl, bm, pw)
 
-        if gstep % eval_every == 0 or gstep == num_steps:
-            probs, _ = eval_step(state.params, val_vols)
-            probs = np.asarray(probs)
-            preds = (probs > 0.5).astype(np.int32)
-            m = eleven_metrics(val_labels, preds, probs)
-            logger.info("step %d AUROC: %s", gstep, m["AUROC"])
-            if metrics_logger is not None:
-                metrics_logger.log("eval", step=gstep,
-                                   loss=float(loss), **m)
-            accepted = tracker.consider(
-                m["Specificity"], m["Sensitivity"], m["AUROC"], m,
-                payload=(
-                    (jax.device_get(state.params) if keep_best_params
-                     else None),
-                    val_labels.copy(), preds, probs,
-                ),
-            )
-            if accepted and save_path is not None:
-                save_pytree(save_path, state.params)
-                logger.info("saved checkpoint to %s", save_path)
+        def one_step(carry, im):
+            p, opt, rng = carry
+            idx, bm = im
+            rng, sub = jax.random.split(rng)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                p, vols[idx], labels[idx], bm, sub)
+            updates, opt = tx.update(grads, opt, p)
+            return (optax.apply_updates(p, updates), opt, rng), loss
 
-    if tracker.payload is None:
-        # No eval ever ACCEPTED (num_steps < eval_every, or every AUROC was
-        # exactly 0.0 and unconstrained — where the reference crashes on an
-        # unbound `tl`, defect D9 family): force-take a final evaluation so
-        # results are always defined.
-        probs, _ = eval_step(state.params, val_vols)
-        probs = np.asarray(probs)
-        preds = (probs > 0.5).astype(np.int32)
-        m = eleven_metrics(val_labels, preds, probs)
-        tracker._take(m["AUROC"], m,
-                      payload=(jax.device_get(state.params)
-                               if keep_best_params else None,
-                               val_labels.copy(), preds, probs))
-        if save_path is not None:
-            save_pytree(save_path, state.params)
+        def evaluate(p):
+            out = model.apply({"params": p}, val_vols, deterministic=True)
+            probs = jax.nn.sigmoid(out.logits.reshape(-1))
+            return _metrics_vector(
+                compute_eval_metrics(probs, val_labels)), probs
 
-    best_params, tl, pl, cp = tracker.payload
+        def period_body(carry, chunk):
+            inner, best = carry
+            inner, losses = jax.lax.scan(one_step, inner, chunk)
+            mvec, probs = evaluate(inner[0])
+            best = device_consider(best, mvec, probs, inner[0],
+                                   jnp.bool_(False))
+            return (inner, best), losses[-1]
+
+        opt = tx.init(params)
+        best0 = device_best_init(11, val_vols.shape[0], params)
+        inner = (params, opt, rng)
+        loss_last = jnp.float32(0.0)
+        if periods > 0:
+            chunks = (
+                jnp.asarray(idx_all[:periods * micro_per_eval]
+                            .reshape(periods, micro_per_eval, B)),
+                jnp.asarray(msk_all[:periods * micro_per_eval]
+                            .reshape(periods, micro_per_eval, B)))
+            (inner, best0), losses = jax.lax.scan(period_body,
+                                                  (inner, best0), chunks)
+            loss_last = losses[-1]
+        if rem > 0:
+            inner, losses = jax.lax.scan(
+                one_step, inner,
+                (jnp.asarray(idx_all[periods * micro_per_eval:]),
+                 jnp.asarray(msk_all[periods * micro_per_eval:])))
+            loss_last = losses[-1]
+        # force-take a final eval if nothing ever accepted (the reference
+        # crashes on an unbound `tl` here — defect D9 family)
+        mvec, probs = evaluate(inner[0])
+        best = device_consider(best0, mvec, probs, inner[0],
+                               ~best0["found"])
+        return best, loss_last
+
+    best, loss_last = run(params, jax.random.key(seed))
+    mvec = np.asarray(best["metrics"])
+    cp = np.asarray(best["probs"])
+    pl = (cp > 0.5).astype(np.int32)
+    metrics = {k: float(v) for k, v in zip(METRIC_KEYS, mvec)}
+    best_params = jax.device_get(best["payload"])
+    if save_path is not None:
+        save_pytree(save_path, best_params)
+        logger.info("saved checkpoint to %s", save_path)
+    if metrics_logger is not None:
+        metrics_logger.log("best_eval", loss=float(loss_last), **metrics)
+    logger.info("best AUROC: %s", metrics["AUROC"])
+
     return BaselineResult(
-        metrics=tracker.best_metrics,
-        true_labels=tl,
+        metrics=metrics,
+        true_labels=val_labels_np.copy(),
         predicted_labels=pl,
         class_probabilities=cp,
-        best_params=best_params,
+        best_params=best_params if keep_best_params else None,
         num_params_m=n_params,
-        final_loss=float(loss),
+        final_loss=float(loss_last),
     )
