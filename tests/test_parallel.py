@@ -1,0 +1,107 @@
+"""Multi-chip sharding tests on the 8-virtual-CPU-device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vit3d_ensemble_tpu.parallel import make_mesh, sweep_shardings
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    return make_mesh(2, 4)
+
+
+def test_make_mesh_shape(mesh8):
+    assert mesh8.devices.shape == (2, 4)
+    assert mesh8.axis_names == ("model", "data")
+    with pytest.raises(ValueError):
+        make_mesh(4, 4)          # 16 > 8 devices
+
+
+def test_sweep_sharded_run_group(mesh8, monkeypatch):
+    """run_group with a mesh: params shard over (model, data), execution
+    partitions across all 8 devices, results match device placement."""
+    import vit3d_ensemble_tpu.configs as configs_mod
+    from vit3d_ensemble_tpu.data.pool import PooledSplit
+    from vit3d_ensemble_tpu.sweep.engine import (
+        SweepHyper,
+        run_group,
+        stack_folds,
+    )
+    from vit3d_ensemble_tpu.sweep.stack import ConfigGroup
+
+    monkeypatch.setitem(configs_mod.GRID, 111, (16, 32, 2, 16, 4))
+    monkeypatch.setitem(configs_mod.GRID, 112, (16, 48, 3, 16, 4))
+    group = ConfigGroup(hidden_size=16, num_heads=4, confs=(111, 112),
+                        mlp_dims=(32, 48), num_layers=(2, 3))
+
+    img = 32
+    rng = np.random.default_rng(0)
+    pool_n = 16
+    pool = rng.normal(size=(pool_n, img, img, 5, 1)).astype(np.float32)
+    labels = np.tile([0.0, 1.0], pool_n // 2).astype(np.float32)
+    folds = []
+    for _ in range(4):               # F=4 divisible by data axis
+        tr = rng.permutation(pool_n)[:8].astype(np.int32)
+        va = rng.permutation(pool_n)[:4].astype(np.int32)
+        m = float(pool[tr].mean())
+        folds.append((PooledSplit(tr, labels[tr], m),
+                      PooledSplit(va, labels[va], m)))
+    hyper = SweepHyper(num_steps=4, eval_every=2, train_batch_size=2,
+                       warmup_steps=2, seed=0)
+    data = stack_folds(pool, folds, hyper)
+
+    res = run_group(group, data, hyper, img_size=img, mesh=mesh8)
+    assert res.best_metrics.shape == (2, 4, 11)
+    assert np.isfinite(res.final_loss).all()
+    # best params remain sharded over the mesh
+    leaf = jax.tree.leaves(res.best_params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
+def test_dp_train_step_allreduce(mesh8):
+    """Single-model DP: batch shards over all 8 devices, params replicate,
+    gradient all-reduce keeps replicas identical."""
+    from vit3d_ensemble_tpu.configs import ViTConfig
+    from vit3d_ensemble_tpu.models import VisionTransformer3D
+    from vit3d_ensemble_tpu.parallel import make_dp_train_step
+    from vit3d_ensemble_tpu.train.optim import sgd_momentum
+
+    img = 32
+    cfg = ViTConfig(patch_size=(16, 16, 5), hidden_size=16, num_heads=4,
+                    mlp_dim=32, num_layers=2, img_size=img)
+    model = VisionTransformer3D(cfg, zero_head=True, vis=False)
+
+    @jax.jit
+    def init():
+        return model.init({"params": jax.random.key(0)},
+                          jnp.zeros((1, img, img, 5, 1)))["params"]
+
+    params = init()
+    tx = sgd_momentum(lambda c: 1e-2)
+    opt_state = tx.init(params)
+    step, batch_sharding = make_dp_train_step(model, tx, mesh8)
+
+    rng = np.random.default_rng(1)
+    B = 16
+    vols = jax.device_put(
+        jnp.asarray(rng.normal(size=(B, img, img, 5, 1)).astype(np.float32)),
+        batch_sharding)
+    y = jax.device_put(jnp.asarray(np.tile([0.0, 1.0], B // 2)
+                                   .astype(np.float32)), batch_sharding)
+    m = jax.device_put(jnp.ones(B, jnp.float32), batch_sharding)
+
+    p1, o1, loss = step(params, opt_state, vols, y, m, jax.random.key(2))
+    assert np.isfinite(float(loss))
+    # params changed and are replicated
+    d0 = jax.tree.leaves(p1)[2]
+    assert len(d0.sharding.device_set) == 8
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p1)))
+    assert changed

@@ -49,15 +49,29 @@ def load_manifest(csv_path: str) -> pd.DataFrame:
 @functools.lru_cache(maxsize=4096)
 def _patient_stack(data_root: str, patient: str, aug_folder: str,
                    size: int) -> Tuple[np.ndarray, Tuple[str, ...]]:
-    """Decode & memoize one patient folder -> ((n_slices, H, W) uint8, names)."""
-    from PIL import Image
+    """Decode & memoize one patient folder -> ((n_slices, H, W) uint8, names).
 
+    PNG folders go through the native C++/libpng batch decoder when
+    available (`data/native_loader.py`, one C call per folder); anything
+    else — .npy slices, missing toolchain, odd formats — takes the PIL
+    path.
+    """
     folder = os.path.join(data_root, patient, aug_folder)
     names = tuple(sorted(os.listdir(folder)))
+    paths = [os.path.join(folder, name) for name in names]
+
+    if names and all(n.endswith(".png") for n in names):
+        from vit3d_ensemble_tpu.data.native_loader import decode_batch
+
+        stack = decode_batch(paths, size)
+        if stack is not None:
+            return stack, names
+
+    from PIL import Image
+
     imgs = []
-    for name in names:
-        path = os.path.join(folder, name)
-        if name.endswith(".npy"):
+    for path in paths:
+        if path.endswith(".npy"):
             imgs.append(np.load(path))
         else:
             imgs.append(np.asarray(Image.open(path)))
