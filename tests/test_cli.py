@@ -84,6 +84,21 @@ def test_cli_baseline_whole_dataset(synth_root, tmp_path):
     assert (out / "baseline_models" / "conf9" / "conf9.msgpack").exists()
 
 
+def test_cli_baseline_whole_dataset_all_configs(synth_root, tmp_path):
+    from vit3d_ensemble_tpu.cli import train_baseline_whole_dataset as d
+
+    out = tmp_path / "out"
+    res = d.main([
+        "--all_configs", "--num_steps", "2", "--eval_every", "2",
+        "--warmup_steps", "1",
+        *_common(synth_root, out, "fixed_split"),
+    ])
+    assert set(res) == set(range(1, 19))
+    for c in (1, 9, 18):
+        assert (out / "baseline_models" / f"conf{c}" /
+                f"conf{c}.msgpack").exists()
+
+
 def test_cli_baseline_cv_single(synth_root, tmp_path):
     from vit3d_ensemble_tpu.cli import train_baseline_cv as d
 

@@ -38,12 +38,80 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def run_all_configs(args):
+    """All 18 baselines on the fixed split as one vmapped batch (3 compiled
+    programs; the sequential path would compile 18 distinct architectures).
+    The fixed split is a 1-fold sweep with unweighted loss
+    (`train_baseline_whole_dataset.py:186`)."""
+    import jax
+    import numpy as np
+
+    from vit3d_ensemble_tpu.data.pool import (
+        PoolBuilder,
+        PooledSplit,
+        finalize_mean,
+        manifest_labels,
+        pooled_train_split,
+    )
+    from vit3d_ensemble_tpu.data.volumes import load_manifest
+    from vit3d_ensemble_tpu.sweep.engine import (
+        SweepHyper,
+        run_group,
+        stack_folds,
+    )
+    from vit3d_ensemble_tpu.sweep.stack import (
+        group_configs,
+        unpad_group_params,
+    )
+    from vit3d_ensemble_tpu.checkpoint import save_pytree
+
+    builder = PoolBuilder(args.data_root, args.img_size)
+    tdf = load_manifest(os.path.join(args.csv_path, "training.csv"))
+    vdf = load_manifest(os.path.join(args.csv_path, "validation.csv"))
+    train, mean_rows = pooled_train_split(
+        builder, tdf, "disk" if args.aug_mode == "disk" else "none")
+    val = PooledSplit(builder.manifest_rows(vdf), manifest_labels(vdf),
+                      float("nan"))
+    pool = builder.build()
+    mean = finalize_mean(pool, mean_rows)
+    import dataclasses
+
+    folds = [(dataclasses.replace(train, mean=mean),
+              dataclasses.replace(val, mean=mean))]
+
+    hyper = SweepHyper(
+        num_steps=args.num_steps, eval_every=args.eval_every,
+        train_batch_size=args.train_batch_size,
+        learning_rate=args.learning_rate, weight_decay=args.weight_decay,
+        warmup_steps=args.warmup_steps, decay_type=args.decay_type,
+        balanced_weights=False, seed=args.seed)
+    data = stack_folds(pool, folds, hyper)
+
+    all_results = {}
+    for group in group_configs(range(1, 19)):
+        logger.info("training group (D=%d, k=%d): confs %s",
+                    group.hidden_size, group.num_heads, group.confs)
+        res = run_group(group, data, hyper, args.img_size)
+        members = unpad_group_params(res.best_params, group, args.img_size)
+        for g, conf in enumerate(group.confs):
+            ckpt = baseline_ckpt_path(args.output_dir, "baseline", conf,
+                                      f"conf{conf}")
+            save_pytree(ckpt, jax.tree.map(lambda x: x[0], members[g]))
+            all_results[conf] = res.metrics_dict(g, 0)
+            logger.info("conf %d best AUROC: %.4f", conf,
+                        all_results[conf]["AUROC"])
+    return all_results
+
+
 def main(argv=None):
     setup_logging()
     args = build_parser().parse_args(argv)
     apply_runtime_flags(args)
 
-    configs = (list(range(1, 19)) if args.all_configs else [args.config])
+    if args.all_configs:
+        return run_all_configs(args)
+
+    configs = [args.config]
     train_split, val_split, _ = build_train_val(
         os.path.join(args.csv_path, "training.csv"),
         os.path.join(args.csv_path, "validation.csv"),
