@@ -18,10 +18,6 @@ import logging
 import os
 from typing import Dict
 
-import jax
-import numpy as np
-
-from vit3d_ensemble_tpu.checkpoint import baseline_ckpt_path, save_pytree
 from vit3d_ensemble_tpu.cli._common import (
     apply_runtime_flags,
     add_baseline_flags,
@@ -30,12 +26,6 @@ from vit3d_ensemble_tpu.cli._common import (
 )
 from vit3d_ensemble_tpu.data.pool import build_pooled_bootstrap
 from vit3d_ensemble_tpu.reporting import write_sweep_report
-from vit3d_ensemble_tpu.sweep.engine import (
-    SweepHyper,
-    run_group,
-    stack_folds,
-)
-from vit3d_ensemble_tpu.sweep.stack import group_configs
 
 logger = logging.getLogger("train_baseline_bootstrap")
 
@@ -54,46 +44,42 @@ def main(argv=None) -> Dict:
     args = build_parser().parse_args(argv)
     apply_runtime_flags(args)
 
-    hyper = SweepHyper(
-        num_steps=args.num_steps, eval_every=args.eval_every,
-        train_batch_size=args.train_batch_size,
-        learning_rate=args.learning_rate, weight_decay=args.weight_decay,
-        warmup_steps=args.warmup_steps, decay_type=args.decay_type,
-        seed=args.seed)
+    from vit3d_ensemble_tpu.sweep.engine import (
+        run_grouped_baselines,
+        stack_folds,
+        sweep_aug_mode,
+        sweep_hyper_from_args,
+    )
 
+    hyper = sweep_hyper_from_args(args)
     pool, reps = build_pooled_bootstrap(
         os.path.join(args.csv_path, "training.csv"),
         os.path.join(args.csv_path, "validation.csv"),
         args.data_root, args.num_rep, size=args.img_size,
-        aug_mode=("disk" if args.aug_mode == "disk" else "none"))
+        aug_mode=sweep_aug_mode(args))
     data = stack_folds(pool, reps, hyper)
     logger.info("pool: %d unique volumes for %d replicates", len(pool),
                 args.num_rep)
 
     confs = list(range(1, 19)) if args.all_configs else [args.config]
-    results: Dict = {}
-    for group in group_configs(confs):
-        logger.info("training group (D=%d, k=%d): confs %s",
-                    group.hidden_size, group.num_heads, group.confs)
-        res = run_group(group, data, hyper, args.img_size)
-        from vit3d_ensemble_tpu.sweep.stack import unpad_group_params
-
-        members = unpad_group_params(res.best_params, group, args.img_size)
-        for g, conf in enumerate(group.confs):
-            results[f"conf{conf}"] = {}
-            for r in range(args.num_rep):
-                results[f"conf{conf}"][f"boot{r}"] = res.metrics_dict(g, r)
-                ckpt = baseline_ckpt_path(args.output_dir, "boot_baseline",
-                                          conf, f"boot{r}")
-                save_pytree(ckpt, jax.tree.map(lambda x: x[r], members[g]))
-            med = float(np.median(res.best_metrics[g, :, 3]))
-            logger.info("conf %d median AUROC over %d replicates: %.4f",
-                        conf, args.num_rep, med)
+    raw = run_grouped_baselines(
+        args, data, hyper, ckpt_kind="boot_baseline",
+        fold_label=lambda r: f"boot{r}",
+        fold_tag=lambda conf, r: f"boot{r}",
+        marker_prefix="boot", confs=confs)
+    results = {f"conf{c}": per_rep for c, per_rep in raw.items()}
 
     report = os.path.join(args.output_dir, "Baseline_Bootstrap")
     write_sweep_report(report, results)
     logger.info("report written to %s.xlsx / .csv", report)
     return results
+
+
+def cli() -> int:
+    """Console-script entry: mains return result dicts for programmatic
+    use; setuptools wraps the entry point in sys.exit(), so return 0."""
+    main()
+    return 0
 
 
 if __name__ == "__main__":

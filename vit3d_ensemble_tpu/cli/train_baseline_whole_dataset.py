@@ -43,64 +43,26 @@ def run_all_configs(args):
     programs; the sequential path would compile 18 distinct architectures).
     The fixed split is a 1-fold sweep with unweighted loss
     (`train_baseline_whole_dataset.py:186`)."""
-    import jax
-    import numpy as np
-
-    from vit3d_ensemble_tpu.data.pool import (
-        PoolBuilder,
-        PooledSplit,
-        finalize_mean,
-        manifest_labels,
-        pooled_train_split,
-    )
-    from vit3d_ensemble_tpu.data.volumes import load_manifest
+    from vit3d_ensemble_tpu.data.pool import build_pooled_fixed
     from vit3d_ensemble_tpu.sweep.engine import (
-        SweepHyper,
-        run_group,
+        run_grouped_baselines,
         stack_folds,
+        sweep_aug_mode,
+        sweep_hyper_from_args,
     )
-    from vit3d_ensemble_tpu.sweep.stack import (
-        group_configs,
-        unpad_group_params,
-    )
-    from vit3d_ensemble_tpu.checkpoint import save_pytree
 
-    builder = PoolBuilder(args.data_root, args.img_size)
-    tdf = load_manifest(os.path.join(args.csv_path, "training.csv"))
-    vdf = load_manifest(os.path.join(args.csv_path, "validation.csv"))
-    train, mean_rows = pooled_train_split(
-        builder, tdf, "disk" if args.aug_mode == "disk" else "none")
-    val = PooledSplit(builder.manifest_rows(vdf), manifest_labels(vdf),
-                      float("nan"))
-    pool = builder.build()
-    mean = finalize_mean(pool, mean_rows)
-    import dataclasses
-
-    folds = [(dataclasses.replace(train, mean=mean),
-              dataclasses.replace(val, mean=mean))]
-
-    hyper = SweepHyper(
-        num_steps=args.num_steps, eval_every=args.eval_every,
-        train_batch_size=args.train_batch_size,
-        learning_rate=args.learning_rate, weight_decay=args.weight_decay,
-        warmup_steps=args.warmup_steps, decay_type=args.decay_type,
-        balanced_weights=False, seed=args.seed)
+    hyper = sweep_hyper_from_args(args, balanced_weights=False)
+    pool, folds = build_pooled_fixed(
+        os.path.join(args.csv_path, "training.csv"),
+        os.path.join(args.csv_path, "validation.csv"),
+        args.data_root, size=args.img_size, aug_mode=sweep_aug_mode(args))
     data = stack_folds(pool, folds, hyper)
-
-    all_results = {}
-    for group in group_configs(range(1, 19)):
-        logger.info("training group (D=%d, k=%d): confs %s",
-                    group.hidden_size, group.num_heads, group.confs)
-        res = run_group(group, data, hyper, args.img_size)
-        members = unpad_group_params(res.best_params, group, args.img_size)
-        for g, conf in enumerate(group.confs):
-            ckpt = baseline_ckpt_path(args.output_dir, "baseline", conf,
-                                      f"conf{conf}")
-            save_pytree(ckpt, jax.tree.map(lambda x: x[0], members[g]))
-            all_results[conf] = res.metrics_dict(g, 0)
-            logger.info("conf %d best AUROC: %.4f", conf,
-                        all_results[conf]["AUROC"])
-    return all_results
+    results = run_grouped_baselines(
+        args, data, hyper, ckpt_kind="baseline",
+        fold_label=lambda f: "fixed",
+        fold_tag=lambda conf, f: f"conf{conf}",
+        marker_prefix="whole")
+    return {conf: per_fold["fixed"] for conf, per_fold in results.items()}
 
 
 def main(argv=None):
@@ -140,6 +102,13 @@ def main(argv=None):
             logger.info("  %s: %s", k, v)
         all_results[conf] = res.metrics
     return all_results
+
+
+def cli() -> int:
+    """Console-script entry: mains return result dicts for programmatic
+    use; setuptools wraps the entry point in sys.exit(), so return 0."""
+    main()
+    return 0
 
 
 if __name__ == "__main__":

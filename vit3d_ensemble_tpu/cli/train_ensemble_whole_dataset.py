@@ -124,5 +124,12 @@ def main(argv=None):
     return m
 
 
+def cli() -> int:
+    """Console-script entry: mains return result dicts for programmatic
+    use; setuptools wraps the entry point in sys.exit(), so return 0."""
+    main()
+    return 0
+
+
 if __name__ == "__main__":
     main()

@@ -148,6 +148,21 @@ def build_pooled_cv(csv_path: str, data_root: str, num_cv: int,
     return pool, out
 
 
+def build_pooled_fixed(train_csv: str, val_csv: str, data_root: str,
+                       size: int = 128, aug_mode: str = "disk"):
+    """The fixed split as a 1-fold pool view (whole-dataset training)."""
+    builder = PoolBuilder(data_root, size)
+    tdf = load_manifest(train_csv)
+    vdf = load_manifest(val_csv)
+    train, mean_rows = pooled_train_split(builder, tdf, aug_mode)
+    val = PooledSplit(builder.manifest_rows(vdf), manifest_labels(vdf),
+                      float("nan"))
+    pool = builder.build()
+    mean = finalize_mean(pool, mean_rows)
+    return pool, [(dataclasses.replace(train, mean=mean),
+                   dataclasses.replace(val, mean=mean))]
+
+
 def build_pooled_bootstrap(train_csv: str, val_csv: str, data_root: str,
                            num_rep: int, size: int = 128,
                            aug_mode: str = "disk", seed0: int = 0):

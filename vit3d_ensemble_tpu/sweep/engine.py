@@ -285,43 +285,58 @@ def run_group(group: ConfigGroup, data: FoldData, hyper: SweepHyper,
     )
 
 
-def run_cv_sweep(args) -> Dict[int, Dict[str, Dict[str, float]]]:
-    """The full 18-config x num_cv CV sweep (the north-star workload).
-
-    Drop-in for looping `train_baseline_cv.py` over all --config values.
-    Returns {conf: {'CV 1': {metric: value}, ...}} and writes checkpoints
-    in the reference layout.
-    """
-    from vit3d_ensemble_tpu.checkpoint import baseline_ckpt_path, save_pytree
-    from vit3d_ensemble_tpu.data.pool import build_pooled_cv
-
-    hyper = SweepHyper(
+def sweep_hyper_from_args(args, balanced_weights: bool = True) -> SweepHyper:
+    if getattr(args, "gradient_accumulation_steps", 1) > 1:
+        logger.warning(
+            "--gradient_accumulation_steps is not supported by the vmapped "
+            "sweep engine and will be ignored; use the single-config path "
+            "for accumulation.")
+    return SweepHyper(
         num_steps=args.num_steps, eval_every=args.eval_every,
         train_batch_size=args.train_batch_size,
         learning_rate=args.learning_rate, weight_decay=args.weight_decay,
         warmup_steps=args.warmup_steps, decay_type=args.decay_type,
-        seed=args.seed)
+        balanced_weights=balanced_weights, seed=args.seed)
 
-    pool, folds = build_pooled_cv(args.csv_path, args.data_root, args.num_cv,
-                                  size=args.img_size,
-                                  aug_mode=("disk" if args.aug_mode == "disk"
-                                            else "none"))
-    data = stack_folds(pool, folds, hyper)
 
+def sweep_aug_mode(args) -> str:
+    """Pooled sweeps support disk/none augmentation; reject 'device' loudly
+    rather than silently training un-augmented."""
+    if args.aug_mode == "device":
+        raise ValueError(
+            "--aug_mode device is not supported by the pooled sweep engine "
+            "(use the single-config path, or --aug_mode disk/none)")
+    return args.aug_mode
+
+
+def run_grouped_baselines(args, data: FoldData, hyper: SweepHyper,
+                          ckpt_kind: str, fold_label, fold_tag,
+                          marker_prefix: str,
+                          confs=range(1, 19)) -> Dict:
+    """The shared 18-config group loop: train each (hidden, heads) shape
+    class as one vmapped program, write per-(conf, fold) checkpoints in the
+    reference layout, persist per-group result markers (--resume skips
+    completed groups after preemption), honor --profile_dir, and append
+    per-conf events to the JSONL metrics log."""
     import json
     import os
 
+    from vit3d_ensemble_tpu.checkpoint import baseline_ckpt_path, save_pytree
+    from vit3d_ensemble_tpu.sweep.stack import unpad_group_params
+    from vit3d_ensemble_tpu.utils.metrics_log import default_logger
     from vit3d_ensemble_tpu.utils.profiling import profile_to
 
     state_dir = os.path.join(args.output_dir, "sweep_state")
     os.makedirs(state_dir, exist_ok=True)
+    mlog = default_logger(args.output_dir)
 
     results: Dict[int, Dict[str, Dict[str, float]]] = {}
     with profile_to(getattr(args, "profile_dir", None)):
-        for group in group_configs(range(1, 19)):
+        for group in group_configs(confs):
             marker = os.path.join(
                 state_dir,
-                f"cv_group_{group.hidden_size}_{group.num_heads}.json")
+                f"{marker_prefix}_group_{group.hidden_size}_"
+                f"{group.num_heads}.json")
             if getattr(args, "resume", False) and os.path.exists(marker):
                 # elastic recovery: this group already completed in a
                 # previous (possibly preempted) run — reload its results.
@@ -334,22 +349,44 @@ def run_cv_sweep(args) -> Dict[int, Dict[str, Dict[str, float]]]:
             logger.info("training group (D=%d, k=%d): confs %s",
                         group.hidden_size, group.num_heads, group.confs)
             res = run_group(group, data, hyper, args.img_size)
-            from vit3d_ensemble_tpu.sweep.stack import unpad_group_params
-
             members = unpad_group_params(res.best_params, group,
                                          args.img_size)
             group_results: Dict[int, Dict[str, Dict[str, float]]] = {}
             for g, conf in enumerate(group.confs):
                 group_results[conf] = {}
                 for f in range(data.n_folds):
-                    group_results[conf][f"CV {f + 1}"] = res.metrics_dict(g, f)
-                    ckpt = baseline_ckpt_path(args.output_dir, "cv_baseline",
-                                              conf, f"cv{f + 1}")
+                    m = res.metrics_dict(g, f)
+                    group_results[conf][fold_label(f)] = m
+                    ckpt = baseline_ckpt_path(args.output_dir, ckpt_kind,
+                                              conf, fold_tag(conf, f))
                     save_pytree(ckpt, jax.tree.map(lambda x: x[f],
                                                    members[g]))
+                    mlog.log("sweep_eval", conf=conf,
+                             fold=fold_label(f), **m)
                 logger.info("conf %d median AUROC over folds: %.4f", conf,
                             float(np.median(res.best_metrics[g, :, 3])))
             with open(marker, "w") as f:
                 json.dump(group_results, f)
             results.update(group_results)
     return results
+
+
+def run_cv_sweep(args) -> Dict[int, Dict[str, Dict[str, float]]]:
+    """The full 18-config x num_cv CV sweep (the north-star workload).
+
+    Drop-in for looping `train_baseline_cv.py` over all --config values.
+    Returns {conf: {'CV 1': {metric: value}, ...}} and writes checkpoints
+    in the reference layout.
+    """
+    from vit3d_ensemble_tpu.data.pool import build_pooled_cv
+
+    hyper = sweep_hyper_from_args(args)
+    pool, folds = build_pooled_cv(args.csv_path, args.data_root, args.num_cv,
+                                  size=args.img_size,
+                                  aug_mode=sweep_aug_mode(args))
+    data = stack_folds(pool, folds, hyper)
+    return run_grouped_baselines(
+        args, data, hyper, ckpt_kind="cv_baseline",
+        fold_label=lambda f: f"CV {f + 1}",
+        fold_tag=lambda conf, f: f"cv{f + 1}",
+        marker_prefix="cv")
