@@ -42,9 +42,15 @@ def main():
     n_par = sum(a.size for a in jax.tree.leaves(params)) / 1e6
     print(f"ViT-B/16 128^3: {n_par:.1f}M params, {cfg.seq_len} tokens")
 
+    from vit3d_ensemble_tpu.ops.attention import set_default_attention_impl
+
     iters = 20
     for impl in ("xla", "pallas"):
         set_default_mlp_impl(impl)
+        # isolated f32 attention at 513 tokens favors the fused kernel
+        # 1.9x, but in the full bf16 ViT-B forward the end-to-end numbers
+        # are within noise — ViT-B/16's bytes are elsewhere at bf16.
+        set_default_attention_impl(impl)
 
         # All iterations inside ONE scanned program, each with an
         # input-dependent perturbation — identical repeated dispatches can

@@ -106,14 +106,23 @@ def test_sweep_resume_markers(tmp_path, monkeypatch):
 
     marker_dir = tmp_path / "out" / "sweep_state"
     marker_dir.mkdir(parents=True)
-    fake = {"1": {"CV 1": {"AUROC": 0.9}}}
-    for hs, nh in ((64, 4), (32, 8), (16, 16)):
-        with open(marker_dir / f"cv_group_{hs}_{nh}.json", "w") as f:
-            json.dump(fake, f)
 
     import argparse
 
     from vit3d_ensemble_tpu.sweep import engine
+    from vit3d_ensemble_tpu.sweep.stack import group_configs
+
+    # markers are fingerprinted by (confs, n_folds, hyper) — compute the
+    # names the engine will look for.
+    hyper = engine.SweepHyper(num_steps=4, eval_every=2, train_batch_size=2,
+                              learning_rate=1e-4, weight_decay=0.0,
+                              warmup_steps=1, decay_type="cosine", seed=0)
+    fake = {"1": {"CV 1": {"AUROC": 0.9}}}
+    for group in group_configs(range(1, 19)):
+        marker = engine.sweep_marker_path(str(marker_dir), "cv", group, 2,
+                                          hyper)
+        with open(marker, "w") as f:
+            json.dump(fake, f)
 
     called = []
     monkeypatch.setattr(engine, "run_group",

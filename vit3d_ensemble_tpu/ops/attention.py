@@ -12,16 +12,18 @@ MXU's native 128x128 tile.  Two implementations are provided:
   * ``pallas`` — a single fused kernel (QK^T, softmax, PV in one VMEM
                  round-trip).  See `ops/pallas_attention.py`.
 
-Measured on a v5e chip (f32, scanned 50-iter programs with true host-fetch
-sync, 2026-08-16):
-  (B=256, H=8, S=65, hd=4):   xla 0.61ms   pallas 2.22ms
-  (B=256, H=4, S=65, hd=16):  xla 0.57ms   pallas 0.97ms
-The default is therefore ``xla``: at 65 tokens XLA's batched-matmul path
-keeps the MXU busier than the kernel's per-head loop.  The kernel remains
-available (--attention_impl pallas) as the scaffold for the 128^3-volume
-stretch regime (513+ tokens) where fusing away the (BH, S, S) probability
-round-trip starts to pay.  (Contrast ops/pallas_mlp.py, where fusion wins
-3x — the FFN intermediate is where this architecture's bytes are.)
+Measured on a v5e chip (f32, scanned 30-iter programs with true host-fetch
+sync, 2026-08-16; kernel uses Mosaic batched dot_generals over the
+batch-head block):
+  (B=256, H=8, S=65, hd=4):    xla  1.14ms   pallas 2.23ms
+  (B=256, H=4, S=65, hd=16):   xla  1.05ms   pallas 1.05ms
+  (B=128, H=12, S=513, hd=64): xla 10.88ms   pallas 5.78ms   (kernel 1.9x)
+The default stays ``xla`` for the reference's 65-token regime; for the
+128^3-volume stretch regime (513 tokens, ViT-B) the fused kernel halves
+attention time by keeping the (BH, S, S) probability tensor in VMEM —
+select it with --attention_impl pallas.  (Compare ops/pallas_mlp.py, which
+wins 3x at reference widths — the FFN intermediate is where the tiny-ViT's
+bytes are.)
 
 Both return the attention probabilities when ``return_probs`` is set, to
 preserve the reference's ``vis=True`` API (`modeling.py:90`).

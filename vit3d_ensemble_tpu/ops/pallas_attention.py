@@ -40,23 +40,22 @@ MIN_HD = 8
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    """One block: q/k/v/o refs are (BH_BLOCK, S, hd_pad) in VMEM."""
-    S = q_ref.shape[1]
+    """One block: q/k/v/o refs are (BH_BLOCK, S, hd_pad) in VMEM.
 
-    def body(b, _):
-        q = q_ref[b]                                   # (S, hd)
-        k = k_ref[b]
-        v = v_ref[b]
-        scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale       # (S, S)
-        probs = jax.nn.softmax(scores, axis=-1)
-        o_ref[b] = jax.lax.dot_general(
-            probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, q_ref.shape[0], body, 0)
+    Both matmuls are BATCHED dot_generals over the block's batch-head dim
+    (Mosaic lowers 3D batched dots natively); scores/softmax/context never
+    leave VMEM.
+    """
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    scores = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale          # (B, S, S)
+    probs = jax.nn.softmax(scores, axis=-1)
+    o_ref[...] = jax.lax.dot_general(
+        probs.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 def _fused_attention_impl(q: jax.Array, k: jax.Array,
@@ -78,13 +77,19 @@ def _fused_attention_impl(q: jax.Array, k: jax.Array,
         pad = [(0, 0), (0, 0), (0, hd_pad - hd)]
         q2, k2, v2 = (jnp.pad(a, pad) for a in (q2, k2, v2))
 
-    bh_pad = -(-bh // BH_BLOCK) * BH_BLOCK
+    # adapt the block size to VMEM: per batch-head the kernel holds
+    # 3x(S, hd) inputs + (S, S) scores + (S, hd) out in f32; Mosaic
+    # double-buffers pipeline blocks and pads lanes, so budget ~3 MB.
+    bytes_per_head = (4 * S * hd_pad + S * S) * 4
+    bh_block = max(1, min(BH_BLOCK, (3 * 1024 * 1024) // bytes_per_head))
+
+    bh_pad = -(-bh // bh_block) * bh_block
     if bh_pad != bh:
         pad = [(0, bh_pad - bh), (0, 0), (0, 0)]
         q2, k2, v2 = (jnp.pad(a, pad) for a in (q2, k2, v2))
 
-    grid = (bh_pad // BH_BLOCK,)
-    spec = pl.BlockSpec((BH_BLOCK, S, hd_pad), lambda i: (i, 0, 0),
+    grid = (bh_pad // bh_block,)
+    spec = pl.BlockSpec((bh_block, S, hd_pad), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_attention_kernel, scale=scale),

@@ -40,6 +40,7 @@ from vit3d_ensemble_tpu.train.schedules import make_schedule
 from vit3d_ensemble_tpu.train.selection import (
     device_best_init,
     device_consider,
+    device_take_if,
 )
 from vit3d_ensemble_tpu.train.steps import (
     masked_balanced_pos_weight,
@@ -230,7 +231,7 @@ def make_group_trainer(group: ConfigGroup, hyper: SweepHyper,
         # AUROCs == 0), take a final eval so results are always defined —
         # the reference would crash here (unbound `tl`, defect D9-adjacent).
         mvec, probs = evaluate(inner[0])
-        best = device_consider(best0, mvec, probs, inner[0], ~best0["found"])
+        best = device_take_if(best0, mvec, probs, inner[0], ~best0["found"])
         return dict(metrics=best["metrics"], probs=best["probs"],
                     params=best["payload"], loss=loss_last)
 
@@ -309,6 +310,24 @@ def sweep_aug_mode(args) -> str:
     return args.aug_mode
 
 
+def sweep_marker_path(state_dir: str, marker_prefix: str,
+                      group: ConfigGroup, n_folds: int,
+                      hyper: SweepHyper) -> str:
+    """Resume-marker file for one group.  Keyed by the full run fingerprint
+    (conf set + fold count + hyperparameters), not just the shape class — a
+    (D,k)-only key would let --resume silently reuse a DIFFERENT config's
+    or hyper setting's results."""
+    import hashlib
+    import os
+
+    fp = hashlib.sha1(repr((group.confs, n_folds, hyper))
+                      .encode()).hexdigest()[:12]
+    return os.path.join(
+        state_dir,
+        f"{marker_prefix}_group_{group.hidden_size}_"
+        f"{group.num_heads}_{fp}.json")
+
+
 def run_grouped_baselines(args, data: FoldData, hyper: SweepHyper,
                           ckpt_kind: str, fold_label, fold_tag,
                           marker_prefix: str,
@@ -333,10 +352,8 @@ def run_grouped_baselines(args, data: FoldData, hyper: SweepHyper,
     results: Dict[int, Dict[str, Dict[str, float]]] = {}
     with profile_to(getattr(args, "profile_dir", None)):
         for group in group_configs(confs):
-            marker = os.path.join(
-                state_dir,
-                f"{marker_prefix}_group_{group.hidden_size}_"
-                f"{group.num_heads}.json")
+            marker = sweep_marker_path(state_dir, marker_prefix, group,
+                                       data.n_folds, hyper)
             if getattr(args, "resume", False) and os.path.exists(marker):
                 # elastic recovery: this group already completed in a
                 # previous (possibly preempted) run — reload its results.

@@ -17,6 +17,7 @@ selected with --end_to_end on the CLI drivers.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import itertools
 import logging
 from typing import Dict, Mapping, Tuple
@@ -45,6 +46,39 @@ def all_combinations(max_configs: int = 19, k: int = 3) -> np.ndarray:
                     dtype=np.int32)
 
 
+@functools.lru_cache(maxsize=64)
+def _group_infer_fns(group: ConfigGroup, img_size: int):
+    """Cached (pad_stack, fwd) jitted fns per group shape class — jits
+    defined inside the per-call loop would retrace on every invocation (the
+    frozen sweeps call compute_member_logits ~2x per fold/replicate)."""
+    template = group.template_config(img_size)
+    model = VisionTransformer3D(template, zero_head=True, vis=False)
+    dummy = jnp.zeros((1, img_size, img_size, template.z_size, 1))
+    tshapes = jax.eval_shape(
+        lambda: model.init({"params": jax.random.key(0)}, dummy)["params"])
+
+    @jax.jit
+    def pad_stack(member_trees):
+        padded = [jax.tree.map(lambda p, t: _pad_to(p, t.shape),
+                               tree, tshapes) for tree in member_trees]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
+
+    mlp_active = jnp.asarray(group.mlp_dims, jnp.int32)
+    layers_active = jnp.asarray(group.num_layers, jnp.int32)
+
+    @jax.jit
+    def fwd(params, vols):
+        def one(p, ml, la):
+            return model.apply({"params": p}, vols, deterministic=True,
+                               num_layers_active=la,
+                               mlp_active=ml).logits.reshape(-1)
+
+        return jax.vmap(one, in_axes=(0, 0, 0))(params, mlp_active,
+                                                layers_active)
+
+    return pad_stack, fwd
+
+
 def compute_member_logits(
     member_params: Mapping[int, dict],
     volumes: np.ndarray,
@@ -58,32 +92,9 @@ def compute_member_logits(
     out: Dict[int, np.ndarray] = {}
     confs = sorted(member_params)
     for group in group_configs(confs):
-        template = group.template_config(img_size)
-        model = VisionTransformer3D(template, zero_head=True, vis=False)
-        dummy = jnp.zeros((1, img_size, img_size, template.z_size, 1))
-        tshapes = jax.eval_shape(
-            lambda: model.init({"params": jax.random.key(0)}, dummy)["params"])
-
-        @jax.jit
-        def pad_stack(member_trees):
-            padded = [jax.tree.map(lambda p, t: _pad_to(p, t.shape),
-                                   tree, tshapes) for tree in member_trees]
-            return jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
-
-        stacked = pad_stack([member_params[c] for c in group.confs])
-        mlp_active = jnp.asarray(group.mlp_dims, jnp.int32)
-        layers_active = jnp.asarray(group.num_layers, jnp.int32)
-
-        @jax.jit
-        def fwd(params, vols, mlp_active=mlp_active,
-                layers_active=layers_active, model=model):
-            def one(p, ml, la):
-                return model.apply({"params": p}, vols, deterministic=True,
-                                   num_layers_active=la,
-                                   mlp_active=ml).logits.reshape(-1)
-
-            return jax.vmap(one, in_axes=(0, 0, 0))(params, mlp_active,
-                                                    layers_active)
+        pad_stack, fwd = _group_infer_fns(group, img_size)
+        stacked = pad_stack([jax.tree.map(jnp.asarray, member_params[c])
+                             for c in group.confs])
 
         # pad every chunk to `batch_size` so ONE compiled program serves all
         # splits/replicates (arbitrary N would trigger a fresh XLA compile
@@ -149,7 +160,7 @@ def train_meta_sweep(
 
     tx = optax.adam(hyper.learning_rate)
 
-    def train_one(w, b, key, members, tl, ty, bidx, bmsk, vl, vy, vmask):
+    def train_one(w, b, members, tl, ty, bidx, bmsk, vl, vy, vmask):
         # members: (3,) rows; tl: (18, N); vl: (18, V)
         sel_t = tl[members]                     # (3, N)
         sel_v = vl[members]                     # (3, V)
@@ -168,9 +179,15 @@ def train_meta_sweep(
             cols = sel_t[:, idx]                # (3, B)
             y = ty[idx]
             loss, grads = jax.value_and_grad(loss_fn)(p, cols, y, m)
-            updates, opt = tx.update(grads, opt, p)
-            p = optax.apply_updates(p, updates)
-            return (p, opt), loss
+            updates, new_opt = tx.update(grads, opt, p)
+            new_p = optax.apply_updates(p, updates)
+            # the schedule pads shorter folds to a common steps-per-epoch
+            # with FULLY-masked batches; those must be true no-ops (Adam
+            # would otherwise keep moving params on decayed momentum).
+            has_valid = jnp.sum(m) > 0
+            take = lambda new, old: jax.tree.map(  # noqa: E731
+                lambda a, c: jnp.where(has_valid, a, c), new, old)
+            return (take(new_p, p), take(new_opt, opt)), loss
 
         def evaluate(p):
             z = jnp.einsum("kv,k->v", sel_v, p["w"]) + p["b"]
@@ -200,14 +217,12 @@ def train_meta_sweep(
     bound = 1.0 / np.sqrt(3.0)
     w0 = jax.random.uniform(kw, (C, F, 3), minval=-bound, maxval=bound)
     b0 = jax.random.uniform(kb, (C, F), minval=-bound, maxval=bound)
-    keys = jax.random.split(jax.random.key(hyper.seed + 1), C * F)
-    keys = keys.reshape(C, F)
 
-    fold_axes = (0, 0, 0, None, 0, 0, 0, 0, 0, 0, 0)
-    combo_axes = (0, 0, 0, 0, None, None, None, None, None, None, None)
+    fold_axes = (0, 0, None, 0, 0, 0, 0, 0, 0, 0)
+    combo_axes = (0, 0, 0, None, None, None, None, None, None, None)
     fn = jax.jit(jax.vmap(jax.vmap(train_one, in_axes=fold_axes),
                           in_axes=combo_axes))
-    metrics, meta = fn(w0, b0, keys, jnp.asarray(member_rows),
+    metrics, meta = fn(w0, b0, jnp.asarray(member_rows),
                        jnp.asarray(train_logits), jnp.asarray(train_labels),
                        jnp.asarray(batch_idx), jnp.asarray(batch_msk),
                        jnp.asarray(val_logits), jnp.asarray(val_labels),

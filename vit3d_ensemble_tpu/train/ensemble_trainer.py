@@ -95,6 +95,7 @@ def train_ensemble(
     from vit3d_ensemble_tpu.train.selection import (
         device_best_init,
         device_consider,
+        device_take_if,
     )
 
     model, params = init_ensemble(configs, member_params, seed)
@@ -159,7 +160,7 @@ def train_ensemble(
                                                      best0),
                                         (idx_all, msk_all))
         mvec, probs = evaluate(inner[0])
-        best = device_consider(best, mvec, probs, inner[0], ~best["found"])
+        best = device_take_if(best, mvec, probs, inner[0], ~best["found"])
         return best
 
     best = run(params, jnp.asarray(idx_all), jnp.asarray(msk_all),

@@ -71,9 +71,27 @@ def device_consider(best, mvec, probs, payload, force):
         jnp.logical_or(~best["choice"], auc > best["auc"]),
         (~best["choice"]) & (auc > best["auc"]))
     accept = accept | force
+    return _apply_accept(best, mvec, probs, payload, accept,
+                         choice=best["choice"] | constrained)
+
+
+def device_take_if(best, mvec, probs, payload, cond):
+    """Accept IFF `cond` — bypasses the selection rule entirely.  Used for
+    the end-of-run fallback eval: it must only fill in results when NO
+    earlier eval accepted (the reference evaluates strictly at eval_every
+    multiples; letting a final out-of-cadence eval compete under the normal
+    rule would change which checkpoint wins)."""
+    return _apply_accept(best, mvec, probs, payload, cond,
+                         choice=best["choice"])
+
+
+def _apply_accept(best, mvec, probs, payload, accept, choice):
+    import jax
+    import jax.numpy as jnp
+
     return dict(
-        auc=jnp.where(accept, auc, best["auc"]),
-        choice=best["choice"] | constrained,
+        auc=jnp.where(accept, mvec[3], best["auc"]),
+        choice=choice,
         found=best["found"] | accept,
         metrics=jnp.where(accept, mvec, best["metrics"]),
         probs=jnp.where(accept, probs, best["probs"]),

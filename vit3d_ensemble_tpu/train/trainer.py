@@ -105,6 +105,7 @@ def train_baseline(
     from vit3d_ensemble_tpu.train.selection import (
         device_best_init,
         device_consider,
+        device_take_if,
     )
     from vit3d_ensemble_tpu.train.steps import (
         masked_balanced_pos_weight,
@@ -187,8 +188,8 @@ def train_baseline(
         # force-take a final eval if nothing ever accepted (the reference
         # crashes on an unbound `tl` here — defect D9 family)
         mvec, probs = evaluate(inner[0])
-        best = device_consider(best0, mvec, probs, inner[0],
-                               ~best0["found"])
+        best = device_take_if(best0, mvec, probs, inner[0],
+                              ~best0["found"])
         return best, loss_last
 
     best, loss_last = run(params, jax.random.key(seed))
