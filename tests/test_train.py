@@ -45,6 +45,35 @@ def test_schedule_matches_torch_lambdalr(decay_type, warmup, total):
                                    atol=1e-9, err_msg=f"step={step}")
 
 
+def test_schedule_shift_models_defect_d15():
+    # whole-dataset/bootstrap reference drivers step the scheduler BEFORE
+    # the optimizer (defect D15): update g uses factor(g+1); shift=1
+    # reproduces that off-by-one.
+    lr = 1.0
+    s0 = make_schedule("linear", lr, warmup_steps=10, t_total=100)
+    s1 = make_schedule("linear", lr, warmup_steps=10, t_total=100)
+    from vit3d_ensemble_tpu.train.schedules import warmup_linear_schedule
+
+    shifted = warmup_linear_schedule(lr, 10, 100, shift=1)
+    for step in (0, 5, 9, 50, 99):
+        np.testing.assert_allclose(float(shifted(jnp.asarray(step))),
+                                   float(s0(jnp.asarray(step + 1))),
+                                   rtol=1e-6)
+    assert float(s1(jnp.asarray(0))) == 0.0       # warmup starts at zero LR
+
+
+def test_warmup_constant_and_constant_schedules():
+    from vit3d_ensemble_tpu.train.schedules import make_schedule as mk
+
+    c = mk("constant", 2e-3, warmup_steps=0, t_total=10)
+    assert float(c(jnp.asarray(0))) == pytest.approx(2e-3)
+    assert float(c(jnp.asarray(999))) == pytest.approx(2e-3)
+    wc = mk("warmup_constant", 1.0, warmup_steps=4, t_total=10)
+    np.testing.assert_allclose(
+        [float(wc(jnp.asarray(s))) for s in (0, 2, 4, 100)],
+        [0.0, 0.5, 1.0, 1.0], rtol=1e-6)
+
+
 # --- metrics vs sklearn -----------------------------------------------------
 
 
