@@ -159,6 +159,16 @@ def test_cli_ensemble_pipeline(synth_root, tmp_path):
     with zipfile.ZipFile(out / "Ensemble_CV.xlsx") as z:
         assert "xl/worksheets/sheet1.xml" in z.namelist()
 
+    # reference-faithful end-to-end CV mode (backbones fine-tuned)
+    res_e2e = ens_d.main([
+        "--max_configs", "4", "--num_epochs", "2", "--num_cv", "1",
+        "--end_to_end", "--workbook", "Ensemble_CV_e2e",
+        *_common(synth_root, out, "cross_validation"),
+    ])
+    assert "1_2_3" in res_e2e and "CV 1" in res_e2e["1_2_3"]
+    assert (out / "cv_ensemble_models" / "ensemble_1_2_3" /
+            "cv1.msgpack").exists()
+
     # end-to-end ensemble retrain on the fixed split
     m = ensw_d.main([
         "--ensemble_conf_list", "1,2,3", "--num_epochs", "2",
