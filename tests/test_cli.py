@@ -188,6 +188,31 @@ def test_cli_ensemble_pipeline(synth_root, tmp_path):
     assert res_ens is not None and "CV 1" in res_ens
     assert "mann_whitney" in stats
 
+    # all-combination test evaluation: every trained meta head, vmapped,
+    # ranking workbook written (reference test_cv.py:109-189 intent)
+    res_base2, res_all_best, _ = tcv.main([
+        "--baseline", "--all_ensembles", "--conf", "1",
+        "--max_configs", "4", "--cv", "2",
+        *_common(synth_root, out, "cross_validation"),
+    ])
+    assert res_all_best is not None and "CV 2" in res_all_best
+    assert "AUROC" in res_all_best["CV 1"]
+    assert (out / "Test_All_Ensembles.csv").exists()
+    with zipfile.ZipFile(out / "Test_All_Ensembles.xlsx") as z:
+        assert "xl/worksheets/sheet1.xml" in z.namelist()
+
+    # OOD noise mode (create_dataset.py:55-59): must run end to end and
+    # actually perturb the inputs (different probs than the clean run)
+    _, res_ood, _ = tcv.main([
+        "--ensemble", "--ensemble_conf_list", "1,2,3", "--cv", "2",
+        "--ood", "--ood_var", "100.0",
+        *_common(synth_root, out, "cross_validation"),
+    ])
+    assert res_ood is not None and "CV 1" in res_ood
+    clean = [res_ens[f]["BS"] for f in res_ens]
+    noisy = [res_ood[f]["BS"] for f in res_ood]
+    assert clean != noisy
+
 
 def test_cli_ensemble_bootstrap(synth_root, tmp_path):
     from vit3d_ensemble_tpu.cli import (

@@ -9,16 +9,25 @@ compute the 11 metrics, aggregate median/mean/percentile CIs, then run the
 cross-model statistics (Shapiro-Wilk, Mood's median test, Mann-Whitney U)
 and save plots (`test_cv.py:82-103,193-243`).
 
+`--all_ensembles` evaluates EVERY trained C(18,3) meta-head combination on
+the test split as one vmapped program and writes the full ranking workbook —
+the reference's `test_ensemble` intent (`test_cv.py:109-189`; its defect D8
+`return` inside the combo loop means it only ever evaluates the first).
+
+`--ood` adds Gaussian noise to the test volumes (the reference's
+out-of-distribution mode, `create_dataset.py:55-59`, which no reference
+driver exposes).
+
 Reference defects fixed (documented, SURVEY.md D8): the reference uses an
-undefined `testset`, returns from inside its combination loop (only the
-first ensemble is ever evaluated), and logs statistics even when only one
-of --baseline/--ensemble is given.
+undefined `testset`, returns from inside its combination loop, and logs
+statistics even when only one of --baseline/--ensemble is given.
 """
 
 from __future__ import annotations
 
 import argparse
 import dataclasses
+import functools
 import logging
 import os
 from typing import Dict
@@ -58,6 +67,23 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Test the baseline model.")
     parser.add_argument("--ensemble", action="store_true",
                         help="Test the ensemble model.")
+    parser.add_argument("--all_ensembles", action="store_true",
+                        help="Evaluate EVERY trained C(18,3) meta-head "
+                             "combination on the test split (vmapped) and "
+                             "write the full ranking workbook.")
+    parser.add_argument("--max_configs", type=int, default=19,
+                        help="Max baseline configuration number + 1 "
+                             "(for --all_ensembles).")
+    parser.add_argument("--combinations", type=int, default=3,
+                        help="Baselines per ensemble (for --all_ensembles).")
+    parser.add_argument("--ood", action="store_true",
+                        help="Gaussian-noise OOD test volumes "
+                             "(create_dataset.py:55-59).")
+    parser.add_argument("--ood_mean", type=float, default=0.0,
+                        help="OOD noise mean.")
+    parser.add_argument("--ood_var", type=float, default=1.0,
+                        help="OOD noise std (the reference passes this to "
+                             "np.random.normal's scale argument).")
     parser.add_argument("--test_batch_size", type=int, default=1,
                         help="(kept for CLI parity; eval is one forward)")
     parser.add_argument("--output_path", default=None,
@@ -66,14 +92,34 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+@functools.lru_cache(maxsize=32)
+def _cached_split(csv_file: str, data_root: str, size: int,
+                  ood: bool = False, ood_mean: float = 0.0,
+                  ood_var: float = 1.0, ood_seed: int = 0):
+    """Memoize split loads for the duration of the process: test_baseline
+    and test_ensemble each walk the same folds, and every fold re-derives
+    its normalization mean from the (heavily overlapping) training CSVs —
+    without the cache that is 2 x cv redundant decodes of ~70 volumes."""
+    return load_split(csv_file, data_root, size=size, ood=ood,
+                      ood_mean=ood_mean, ood_var=ood_var, ood_seed=ood_seed)
+
+
+@functools.lru_cache(maxsize=32)
+def _fold_train_mean(csv_file: str, data_root: str, size: int) -> float:
+    train = _cached_split(csv_file, data_root, size)
+    return float(np.mean(train.volumes, dtype=np.float64))
+
+
 def _fold_test_split(args, cv: int):
     """Test split normalized by fold cv's training mean (`test_cv.py:46-52`)."""
-    train = load_split(os.path.join(args.csv_path,
-                                    f"training_cv{cv + 1}.csv"),
-                       args.data_root, size=args.img_size)
-    mean = float(np.mean(train.volumes, dtype=np.float64))
-    test = load_split(os.path.join(args.csv_path, "test.csv"),
-                      args.data_root, size=args.img_size)
+    mean = _fold_train_mean(
+        os.path.join(args.csv_path, f"training_cv{cv + 1}.csv"),
+        args.data_root, args.img_size)
+    test = _cached_split(
+        os.path.join(args.csv_path, "test.csv"), args.data_root,
+        args.img_size, ood=bool(getattr(args, "ood", False)),
+        ood_mean=getattr(args, "ood_mean", 0.0),
+        ood_var=getattr(args, "ood_var", 1.0), ood_seed=args.seed)
     return dataclasses.replace(test,
                                volumes=test.volumes - np.float32(mean))
 
@@ -170,13 +216,124 @@ def test_ensemble(args) -> Dict[str, Dict[str, float]]:
     return res
 
 
+def test_all_ensembles(args):
+    """Evaluate every trained meta-head combination on the test split.
+
+    The frozen-logit machinery makes this a seconds-long job: the 18
+    members' logits run once per fold normalization, then all C(18,3)
+    combos x cv folds evaluate as one vmapped jitted metrics program
+    (vs the reference's per-combo model rebuild, `test_cv.py:109-189`).
+
+    Returns ({combo_name: {fold: {metric: value}}}, ranking) where ranking
+    is [(combo_name, median_AUROC)] best-first over combos that had a
+    trained meta_heads checkpoint.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vit3d_ensemble_tpu.metrics.jax_metrics import compute_eval_metrics
+    from vit3d_ensemble_tpu.reporting import write_sweep_report
+    from vit3d_ensemble_tpu.sweep.engine import METRIC_KEYS, _metrics_vector
+    from vit3d_ensemble_tpu.sweep.ensemble_sweep import (
+        all_combinations,
+        compute_member_logits,
+    )
+
+    confs = list(range(1, args.max_configs))
+    members = {}
+    for c in confs:
+        cfg = ViTConfig.from_conf(c, img_size=args.img_size)
+        members[c] = load_baseline_params(
+            baseline_ckpt_path(args.output_dir, "baseline", c, f"conf{c}"),
+            cfg)
+
+    # member logits per fold normalization: (F, n_members, T)
+    fold_logits = []
+    labels = None
+    for cv in range(args.cv):
+        test = _fold_test_split(args, cv)
+        lg = compute_member_logits(members, test.volumes, args.img_size)
+        fold_logits.append(np.stack([lg[c] for c in confs]))
+        labels = test.labels
+    L = np.stack(fold_logits)                        # (F, M, T)
+
+    combos = all_combinations(args.max_configs, args.combinations)
+    conf_row = {c: i for i, c in enumerate(confs)}
+    K = combos.shape[1]
+    meta = np.zeros((len(combos), args.cv, K + 1), np.float32)
+    rows = np.zeros((len(combos), K), np.int32)
+    have = np.zeros(len(combos), bool)
+    for ci, comb in enumerate(combos):
+        name = "_".join(str(c) for c in comb)
+        path = ensemble_ckpt_path(args.output_dir, "cv_ensemble", name,
+                                  "meta_heads")
+        if not os.path.exists(path):
+            continue
+        blob = restore_pytree(path, {"combo": np.zeros(K, np.int32),
+                                     "meta_wb": np.zeros((args.cv, K + 1),
+                                                         np.float32)})
+        meta[ci] = blob["meta_wb"]
+        rows[ci] = [conf_row[int(c)] for c in comb]
+        have[ci] = True
+    kept = np.flatnonzero(have)
+    if not len(kept):
+        raise FileNotFoundError(
+            "no trained meta_heads checkpoints found under "
+            f"{args.output_dir}/cv_ensemble_models — run "
+            "train_ensemble_cv first")
+    if len(kept) < len(combos):
+        logger.warning("%d/%d combos have no meta_heads checkpoint and are "
+                       "skipped", len(combos) - len(kept), len(combos))
+
+    y = jnp.asarray(labels, jnp.float32)
+    mask = jnp.ones_like(y)
+
+    def eval_one(wb, r, lg):
+        # wb: (F, K+1); r: (K,); lg: (F, M, T)
+        def per_fold(wbf, lgf):
+            z = jnp.einsum("kt,k->t", lgf[r], wbf[:K]) + wbf[K]
+            probs = jax.nn.sigmoid(z)
+            return _metrics_vector(compute_eval_metrics(probs, y, mask))
+
+        return jax.vmap(per_fold)(wb, lg)            # (F, 11)
+
+    metrics = np.asarray(jax.jit(jax.vmap(eval_one, in_axes=(0, 0, None)))(
+        jnp.asarray(meta[kept]), jnp.asarray(rows[kept]), jnp.asarray(L)))
+
+    results: Dict[str, Dict[str, Dict[str, float]]] = {}
+    ranking = []
+    for j, ci in enumerate(kept):
+        name = "_".join(str(c) for c in combos[ci])
+        results[name] = {
+            f"CV {f + 1}": dict(zip(METRIC_KEYS, map(float, metrics[j, f])))
+            for f in range(args.cv)}
+        ranking.append((name, float(np.median(metrics[j, :, 3]))))
+    ranking.sort(key=lambda t: -t[1])
+
+    out_path = args.output_path or args.output_dir
+    report = os.path.join(out_path, "Test_All_Ensembles")
+    write_sweep_report(report, results)
+    logger.info("full test ranking written to %s.xlsx / .csv (%d combos)",
+                report, len(kept))
+    for name, auc in ranking[:10]:
+        logger.info("test median AUROC %.4f  ensemble %s", auc, name)
+    return results, ranking
+
+
 def main(argv=None):
     setup_logging()
     args = build_parser().parse_args(argv)
     apply_runtime_flags(args)
     out_path = args.output_path or args.output_dir
     res_base = test_baseline(args) if args.baseline else None
-    res_ens = test_ensemble(args) if args.ensemble else None
+    res_ens = None
+    if args.all_ensembles:
+        all_res, ranking = test_all_ensembles(args)
+        # the best-ranked combo stands in as "the ensemble" for the
+        # cross-model statistics below
+        res_ens = all_res[ranking[0][0]]
+    elif args.ensemble:
+        res_ens = test_ensemble(args)
     stats = None
     if res_base and res_ens:
         stats = compute_statistics(res_base, res_ens, out_path)

@@ -44,6 +44,14 @@ def compute_statistics(res_base: Mapping[str, Mapping[str, float]],
     """
     from scipy import stats
 
+    def shapiro_or_note(values):
+        """scipy.shapiro needs n>=3 and silently returns NaN below (with a
+        warning); annotate instead of letting NaN flow into reports."""
+        if len(values) < 3:
+            return ("n<3: Shapiro-Wilk undefined for "
+                    f"{len(values)} folds (need >=3)")
+        return stats.shapiro(values)
+
     def col(res, key_options):
         rows = list(res.values())
         for key in key_options:
@@ -59,8 +67,8 @@ def compute_statistics(res_base: Mapping[str, Mapping[str, float]],
     bs_e = col(res_ens, ("BS", "Brier score"))
 
     results: Dict[str, object] = {
-        "shapiro base": stats.shapiro(bs_b),
-        "shapiro ens": stats.shapiro(bs_e),
+        "shapiro base": shapiro_or_note(bs_b),
+        "shapiro ens": shapiro_or_note(bs_e),
         "median": stats.median_test(bs_b, bs_e),
         "mann_whitney": stats.mannwhitneyu(auprc_b, auprc_e),
     }

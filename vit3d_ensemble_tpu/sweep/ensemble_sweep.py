@@ -34,6 +34,7 @@ from vit3d_ensemble_tpu.sweep.stack import _pad_to, group_configs
 from vit3d_ensemble_tpu.train.selection import (
     device_best_init,
     device_consider,
+    device_take_if,
 )
 
 logger = logging.getLogger(__name__)
@@ -207,8 +208,12 @@ def train_meta_sweep(
         best0 = device_best_init(11, vy.shape[0], params)
         (inner, best), _ = jax.lax.scan(
             epoch_body, ((params, opt), best0), (bidx, bmsk))
+        # Fallback eval must BYPASS the selection rule (take-iff-never-found),
+        # exactly like engine.py:234 and ensemble_trainer — device_consider
+        # with force would let an out-of-cadence eval compete under the
+        # normal rule and change which epoch's head wins.
         mvec, probs = evaluate(inner[0])
-        best = device_consider(best, mvec, probs, inner[0], ~best["found"])
+        best = device_take_if(best, mvec, probs, inner[0], ~best["found"])
         return best["metrics"], best["payload"]
 
     # init meta heads: torch Linear(3,1) default U(+-1/sqrt(3)) per combo
