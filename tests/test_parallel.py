@@ -64,6 +64,52 @@ def test_sweep_sharded_run_group(mesh8, monkeypatch):
     assert len(leaf.sharding.device_set) == 8
 
 
+def test_cli_sweep_with_mesh(mesh8, tmp_path):
+    """The production CLI sweep driver runs sharded end to end
+    (`--all_configs --mesh 2x4`) and matches the single-device run —
+    including fold padding (2 folds on a data axis of 4)."""
+    from __graft_entry__ import _synth_dataset
+    from vit3d_ensemble_tpu.cli import train_baseline_cv as d
+
+    _synth_dataset(str(tmp_path), img=32, num_cv=2)
+    common = [
+        "--all_configs", "--num_cv", "2", "--num_steps", "2",
+        "--eval_every", "2", "--warmup_steps", "1", "--img_size", "32",
+        "--csv_path", str(tmp_path / "csv_files" / "cross_validation"),
+        "--data_root", str(tmp_path / "dataset"),
+    ]
+    res_mesh = d.main([*common, "--mesh", "2x4",
+                       "--output_dir", str(tmp_path / "out_mesh")])
+    res_plain = d.main([*common,
+                        "--output_dir", str(tmp_path / "out_plain")])
+    assert set(res_mesh) == set(range(1, 19))
+    assert set(res_plain) == set(res_mesh)
+    for conf in (1, 9, 18):
+        for fold in res_plain[conf]:
+            a = res_mesh[conf][fold]
+            b = res_plain[conf][fold]
+            for k in b:
+                assert np.isfinite(a[k])
+                np.testing.assert_allclose(a[k], b[k], rtol=1e-4,
+                                           atol=1e-5, err_msg=(conf, fold, k))
+    assert (tmp_path / "out_mesh" / "cv_baseline_models" / "conf9" /
+            "cv2.msgpack").exists()
+
+
+def test_mesh_from_spec():
+    from vit3d_ensemble_tpu.parallel.mesh import mesh_from_spec
+
+    assert mesh_from_spec(None) is None
+    assert mesh_from_spec("none") is None
+    assert mesh_from_spec("1x1") is None
+    m = mesh_from_spec("2x4")
+    assert m.shape == {"model": 2, "data": 4}
+    m = mesh_from_spec("auto")
+    assert m is not None and m.size == len(jax.devices())
+    with pytest.raises(ValueError):
+        mesh_from_spec("bogus")
+
+
 def test_dp_train_step_allreduce(mesh8):
     """Single-model DP: batch shards over all 8 devices, params replicate,
     gradient all-reduce keeps replicas identical."""

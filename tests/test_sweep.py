@@ -121,6 +121,64 @@ def test_init_and_unpad_roundtrip(tiny_group, monkeypatch):
         == (2, 16, 32)
 
 
+def test_snapshot_kill_and_resume(tiny_group, monkeypatch, tmp_path):
+    """Preemption recovery: kill a snapshotting run mid-group, resume from
+    the state file, and get EXACTLY the uninterrupted run's results."""
+    import os
+
+    import vit3d_ensemble_tpu.configs as configs_mod
+    from vit3d_ensemble_tpu.data.pool import PooledSplit
+    from vit3d_ensemble_tpu.sweep.engine import (
+        SimulatedPreemption,
+        SweepHyper,
+        run_group,
+        stack_folds,
+    )
+
+    monkeypatch.setitem(configs_mod.GRID, 101, (16, 32, 2, 16, 4))
+    monkeypatch.setitem(configs_mod.GRID, 102, (16, 48, 3, 16, 4))
+
+    img = 32
+    rng = np.random.default_rng(5)
+    pool_n = 16
+    labels_pool = np.tile([0, 1], pool_n // 2).astype(np.float32)
+    pool = rng.normal(size=(pool_n, img, img, 5, 1)).astype(np.float32)
+    pool[labels_pool == 1] += 1.0
+    folds = []
+    for _ in range(2):
+        tr = rng.permutation(pool_n)[:8].astype(np.int32)
+        va = rng.permutation(pool_n)[:6].astype(np.int32)
+        m = float(pool[tr].mean())
+        folds.append((PooledSplit(tr, labels_pool[tr], m),
+                      PooledSplit(va, labels_pool[va], m)))
+
+    # 9 steps / eval_every 2 -> 4 periods + 1 remainder step;
+    # snapshot_every=2 -> 2 segments
+    hyper = SweepHyper(num_steps=9, eval_every=2, train_batch_size=4,
+                       learning_rate=0.05, warmup_steps=2, seed=0,
+                       snapshot_every=2)
+    data = stack_folds(pool, folds, hyper)
+
+    res_full = run_group(tiny_group, data, hyper, img_size=img)
+
+    state = str(tmp_path / "group_state.msgpack")
+    with pytest.raises(SimulatedPreemption):
+        run_group(tiny_group, data, hyper, img_size=img, state_path=state,
+                  _abort_after_segments=1)
+    assert os.path.exists(state)        # work survived the "preemption"
+
+    res_resumed = run_group(tiny_group, data, hyper, img_size=img,
+                            state_path=state, resume=True)
+    assert not os.path.exists(state)    # cleaned up after completion
+    np.testing.assert_allclose(res_resumed.best_metrics,
+                               res_full.best_metrics, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(res_resumed.final_loss, res_full.final_loss,
+                               rtol=1e-6, atol=1e-7)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+        res_resumed.best_params, res_full.best_params)
+
+
 def test_vmapped_group_training(tiny_group, monkeypatch):
     """End-to-end: 2 configs x 2 folds trained in one jitted program on
     separable synthetic data; all models must find signal."""

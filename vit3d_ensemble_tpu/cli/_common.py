@@ -85,9 +85,21 @@ def add_common_flags(parser: argparse.ArgumentParser,
     parser.add_argument("--debug_nans", action="store_true",
                         help="Raise on any NaN produced under jit "
                              "(jax_debug_nans).")
+    parser.add_argument("--mesh", default=None,
+                        help="Multi-chip mesh 'MODELxDATA' (e.g. 2x4 on a "
+                             "v4-8) or 'auto' (all visible devices). The "
+                             "sweep shards (config, fold) work across chips;"
+                             " default is single-chip.")
     parser.add_argument("--resume", action="store_true",
-                        help="Skip sweep groups whose results are already "
-                             "recorded under output_dir/sweep_state/.")
+                        help="Resume a preempted sweep: skip groups whose "
+                             "results are recorded under output_dir/"
+                             "sweep_state/, and continue mid-group from the "
+                             "last --snapshot_every state snapshot.")
+    parser.add_argument("--snapshot_every", type=int, default=0,
+                        help="Snapshot full sweep train state (params + "
+                             "optimizer + best) every N eval periods for "
+                             "preemption recovery; 0 disables (whole group "
+                             "is one device program).")
 
 
 def apply_runtime_flags(args) -> None:

@@ -31,6 +31,30 @@ def make_mesh(n_model: int, n_data: int,
     return Mesh(grid, ("model", "data"))
 
 
+def mesh_from_spec(spec: Optional[str]) -> Optional[Mesh]:
+    """Parse the CLI --mesh flag into a Mesh (or None for single-chip).
+
+    'MxN' -> Mesh((M, N), ('model', 'data')); 'auto' -> use every visible
+    device (model axis 2 when the count is even, else 1); None/'none'/'1x1'
+    -> single-device behavior, unchanged.
+    """
+    if spec is None or str(spec).lower() in ("", "none", "1x1", "1"):
+        return None
+    if str(spec).lower() == "auto":
+        n = len(jax.devices())
+        if n <= 1:
+            return None
+        n_model = 2 if n % 2 == 0 else 1
+        return make_mesh(n_model, n // n_model)
+    try:
+        m, d = (int(tok) for tok in str(spec).lower().split("x"))
+    except ValueError:
+        raise ValueError(f"--mesh expects 'MxN' or 'auto', got {spec!r}")
+    if m * d <= 1:
+        return None
+    return make_mesh(m, d)
+
+
 def sweep_shardings(mesh: Mesh):
     """Shardings for `sweep.engine.run_group` arrays.
 

@@ -73,6 +73,15 @@ class SweepHyper:
     decay_type: str = "cosine"
     balanced_weights: bool = True
     seed: int = 42
+    #: Snapshot the full train state (params + optimizer + best-metric
+    #: state) every this many eval periods, so a preempted group resumes
+    #: mid-run instead of restarting (SURVEY.md §5 failure detection).
+    #: 0 = off: the whole run is one device program, as before.
+    snapshot_every: int = 0
+
+
+class SimulatedPreemption(RuntimeError):
+    """Raised by run_group's test-only `_abort_after_segments` hook."""
 
 
 @dataclasses.dataclass
@@ -154,9 +163,15 @@ class GroupResult:
                                             self.best_metrics[g, f])}
 
 
-def make_group_trainer(group: ConfigGroup, hyper: SweepHyper,
-                       img_size: int = 128):
-    """Build the jitted (G, F)-vmapped training function for one group."""
+def make_group_programs(group: ConfigGroup, hyper: SweepHyper,
+                        img_size: int = 128):
+    """Build the jitted (G, F)-vmapped (init, segment, finalize) programs.
+
+    Training is segmented at eval-period granularity so `run_group` can
+    snapshot the carry (params + optimizer + rng + best-metric state)
+    between segments for preemption recovery.  With snapshot_every=0 the
+    whole run is one segment — one device program, the original behavior.
+    """
     template = group.template_config(img_size)
     model = VisionTransformer3D(template, zero_head=True, vis=False)
     schedule = make_schedule(hyper.decay_type, hyper.learning_rate,
@@ -167,9 +182,9 @@ def make_group_trainer(group: ConfigGroup, hyper: SweepHyper,
     S = hyper.num_steps
     periods, rem = divmod(S, E)
 
-    def train_one(params, rng, mlp_active, layers_active, pool,
-                  row_idx, train_labels, mean, batch_idx, batch_mask,
-                  val_idx, val_labels, val_mask):
+    def bind_cell(mlp_active, layers_active, pool, row_idx, train_labels,
+                  mean, val_idx, val_labels, val_mask):
+        """Per-(config, fold) step/eval closures over that cell's data."""
 
         def loss_fn(p, bv, bl, bm, drop_rng):
             out = model.apply({"params": p}, bv, deterministic=False,
@@ -200,12 +215,37 @@ def make_group_trainer(group: ConfigGroup, hyper: SweepHyper,
             m = compute_eval_metrics(probs, val_labels, val_mask)
             return _metrics_vector(m), probs
 
-        opt_state = tx.init(params)
-        V = val_idx.shape[0]
-        best0 = device_best_init(11, V, params)
+        return one_step, evaluate
 
-        def period_body(carry, chunk):
-            inner, best = carry
+    DATA_ARGS = 9   # mlp, layers, pool, row_idx, tl, mean, val_idx, vy, vm
+    # inner vmap: folds; outer vmap: configs.  The pool is shared (None on
+    # both axes) — one HBM copy serves every model.  Carry leaves all lead
+    # with the vmapped axes.
+    data_fold_axes = (None, None, None, 0, 0, 0, 0, 0, 0)
+    data_conf_axes = (0, 0, None, None, None, None, None, None, None)
+
+    def vmapped(fn, extra_fold=(), extra_conf=(), donate=False):
+        fold_axes = (0,) + data_fold_axes + tuple(extra_fold)
+        conf_axes = (0,) + data_conf_axes + tuple(extra_conf)
+        out = jax.vmap(jax.vmap(fn, in_axes=fold_axes), in_axes=conf_axes)
+        return jax.jit(out, donate_argnums=(0,) if donate else ())
+
+    def init_one(cell, *data):
+        params, rng = cell
+        val_idx = data[6]
+        return dict(params=params,
+                    opt=tx.init(params),
+                    rng=rng,
+                    best=device_best_init(11, val_idx.shape[0], params),
+                    loss=jnp.float32(0.0))
+
+    def segment_one(carry, *args):
+        # args: DATA_ARGS data arrays + (chunk_idx (P, E, B), chunk_mask)
+        data, (chunk_idx, chunk_mask) = args[:DATA_ARGS], args[DATA_ARGS:]
+        one_step, evaluate = bind_cell(*data)
+
+        def period_body(pcarry, chunk):
+            inner, best = pcarry
             idxs, masks = chunk
             inner, losses = jax.lax.scan(one_step, inner, (idxs, masks))
             mvec, probs = evaluate(inner[0])
@@ -213,57 +253,133 @@ def make_group_trainer(group: ConfigGroup, hyper: SweepHyper,
                                    jnp.bool_(False))
             return (inner, best), losses[-1]
 
-        inner = (params, opt_state, rng)
-        loss_last = jnp.float32(0.0)
-        if periods > 0:
-            chunks = (batch_idx[:periods * E].reshape(periods, E, -1),
-                      batch_mask[:periods * E].reshape(periods, E, -1))
-            (inner, best0), period_losses = jax.lax.scan(
-                period_body, (inner, best0), chunks)
-            loss_last = period_losses[-1]
-        if rem > 0:
-            inner, losses = jax.lax.scan(
-                one_step, inner,
-                (batch_idx[periods * E:], batch_mask[periods * E:]))
-            loss_last = losses[-1]
+        inner = (carry["params"], carry["opt"], carry["rng"])
+        (inner, best), losses = jax.lax.scan(
+            period_body, (inner, carry["best"]), (chunk_idx, chunk_mask))
+        return dict(params=inner[0], opt=inner[1], rng=inner[2], best=best,
+                    loss=losses[-1])
 
+    def finalize_one(carry, *args):
+        data, tail = args[:DATA_ARGS], args[DATA_ARGS:]
+        one_step, evaluate = bind_cell(*data)
+        inner = (carry["params"], carry["opt"], carry["rng"])
+        loss_last = carry["loss"]
+        if rem > 0:
+            rem_idx, rem_mask = tail
+            inner, losses = jax.lax.scan(one_step, inner,
+                                         (rem_idx, rem_mask))
+            loss_last = losses[-1]
         # If no eval ever accepted (e.g. num_steps < eval_every, or all
         # AUROCs == 0), take a final eval so results are always defined —
         # the reference would crash here (unbound `tl`, defect D9-adjacent).
+        best = carry["best"]
         mvec, probs = evaluate(inner[0])
-        best = device_take_if(best0, mvec, probs, inner[0], ~best0["found"])
+        best = device_take_if(best, mvec, probs, inner[0], ~best["found"])
         return dict(metrics=best["metrics"], probs=best["probs"],
                     params=best["payload"], loss=loss_last)
 
-    # inner vmap: folds; outer vmap: configs.  The pool is shared (None on
-    # both axes) — one HBM copy serves every model.
-    fold_axes = (0, 0, None, None, None, 0, 0, 0, 0, 0, 0, 0, 0)
-    conf_axes = (0, 0, 0, 0, None, None, None, None, None, None, None, None,
-                 None)
-    fn = jax.vmap(jax.vmap(train_one, in_axes=fold_axes), in_axes=conf_axes)
-    return jax.jit(fn)
+    init_fn = vmapped(init_one)
+    segment_fn = vmapped(segment_one, extra_fold=(0, 0), extra_conf=(None,) * 2,
+                         donate=True)
+    finalize_fn = vmapped(finalize_one,
+                          extra_fold=(0, 0) if rem > 0 else (),
+                          extra_conf=(None, None) if rem > 0 else (),
+                          donate=True)
+    return init_fn, segment_fn, finalize_fn, periods, rem
+
+
+def _rep_pad(arr: np.ndarray, n: int) -> np.ndarray:
+    """Pad the leading axis to n by repeating entry 0 (duplicate work that
+    is cropped from the results; needed only when a mesh axis does not
+    divide the true axis length)."""
+    if arr.shape[0] == n:
+        return arr
+    reps = np.repeat(arr[:1], n - arr.shape[0], axis=0)
+    return np.concatenate([arr, reps], axis=0)
+
+
+def _save_carry(path: str, carry, segments_done: int) -> None:
+    """Persist the (G, F) training carry mid-run (typed rng keys stored as
+    raw key data — msgpack cannot serialize extended dtypes)."""
+    from vit3d_ensemble_tpu.checkpoint import save_pytree
+
+    c = dict(carry)
+    c["rng"] = jax.random.key_data(c["rng"])
+    save_pytree(path, {"carry": c,
+                       "segments_done": np.asarray(segments_done, np.int64)})
+
+
+def _restore_carry(path: str, carry_template):
+    from vit3d_ensemble_tpu.checkpoint import restore_pytree
+
+    t = dict(carry_template)
+    t["rng"] = jax.random.key_data(t["rng"])
+    target = jax.device_get({"carry": t,
+                             "segments_done": np.asarray(0, np.int64)})
+    blob = restore_pytree(path, target)
+    c = dict(blob["carry"])
+    c["rng"] = jax.random.wrap_key_data(jnp.asarray(c["rng"]))
+    return c, int(blob["segments_done"])
 
 
 def run_group(group: ConfigGroup, data: FoldData, hyper: SweepHyper,
-              img_size: int = 128, mesh=None) -> GroupResult:
+              img_size: int = 128, mesh=None, state_path=None,
+              resume: bool = False,
+              _abort_after_segments=None) -> GroupResult:
     """Train one group.  With `mesh` (a jax.sharding.Mesh('model', 'data')),
     the stacked params shard over ('model', 'data'), fold arrays over
     ('data',), and the pool replicates — XLA partitions the program across
-    chips with no code changes (see `parallel/mesh.py`)."""
+    chips with no code changes (see `parallel/mesh.py`).  Axis lengths that
+    do not divide the mesh (e.g. 5 folds on a data axis of 4) are padded
+    with duplicate work and cropped from the results.
+
+    With hyper.snapshot_every > 0 and a `state_path`, the full carry
+    (params + optimizer + rng + best state) is snapshotted every
+    snapshot_every eval periods; `resume=True` picks up from the last
+    snapshot after preemption.  `_abort_after_segments` is a test-only
+    hook that simulates preemption by raising after N segments.
+    """
+    import os
+
     F = data.n_folds
     G = len(group.confs)
-    params = init_group_params(group, F, hyper.seed, img_size)
-    mlp_active = jnp.asarray(group.mlp_dims, jnp.int32)
-    layers_active = jnp.asarray(group.num_layers, jnp.int32)
+    if mesh is not None:
+        gm, fd = mesh.shape["model"], mesh.shape["data"]
+        G_pad = -(-G // gm) * gm
+        F_pad = -(-F // fd) * fd
+    else:
+        G_pad, F_pad = G, F
+
+    params = init_group_params(group, F_pad, hyper.seed, img_size)
+    mlp_active = jnp.asarray(_rep_pad(np.asarray(group.mlp_dims, np.int32),
+                                      G_pad))
+    layers_active = jnp.asarray(_rep_pad(np.asarray(group.num_layers,
+                                                    np.int32), G_pad))
+    if G_pad > G:
+        params = jax.tree.map(
+            lambda x: jnp.concatenate(
+                [x, jnp.repeat(x[:1], G_pad - G, axis=0)]), params)
+    # per-cell dropout keys are derived for the TRUE (G, F) grid and only
+    # then padded — splitting over the padded grid would hand every real
+    # cell a different key than the single-device run.
     keys = jax.random.split(jax.random.key(hyper.seed), G * F)
     keys = keys.reshape(G, F)
+    if F_pad > F:
+        keys = jnp.concatenate(
+            [keys, jnp.broadcast_to(keys[:, :1], (G, F_pad - F))], axis=1)
+    if G_pad > G:
+        keys = jnp.concatenate(
+            [keys, jnp.broadcast_to(keys[:1], (G_pad - G, F_pad))], axis=0)
 
     arrays = dict(
-        pool=data.pool, row_idx=data.row_idx,
-        train_labels=data.train_labels, mean=data.mean,
-        batch_idx=data.batch_idx, batch_mask=data.batch_mask,
-        val_idx=data.val_idx, val_labels=data.val_labels,
-        val_mask=data.val_mask)
+        pool=data.pool, row_idx=_rep_pad(data.row_idx, F_pad),
+        train_labels=_rep_pad(data.train_labels, F_pad),
+        mean=_rep_pad(data.mean, F_pad),
+        batch_idx=_rep_pad(data.batch_idx, F_pad),
+        batch_mask=_rep_pad(data.batch_mask, F_pad),
+        val_idx=_rep_pad(data.val_idx, F_pad),
+        val_labels=_rep_pad(data.val_labels, F_pad),
+        val_mask=_rep_pad(data.val_mask, F_pad))
     if mesh is not None:
         from vit3d_ensemble_tpu.parallel.mesh import shard_group_inputs
 
@@ -271,18 +387,53 @@ def run_group(group: ConfigGroup, data: FoldData, hyper: SweepHyper,
     else:
         arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
 
-    trainer = make_group_trainer(group, hyper, img_size)
-    out = trainer(params, keys, mlp_active, layers_active,
-                  arrays["pool"], arrays["row_idx"], arrays["train_labels"],
-                  arrays["mean"], arrays["batch_idx"], arrays["batch_mask"],
-                  arrays["val_idx"], arrays["val_labels"],
-                  arrays["val_mask"])
+    init_fn, segment_fn, finalize_fn, periods, rem = make_group_programs(
+        group, hyper, img_size)
+    E = hyper.eval_every
+    data_args = (mlp_active, layers_active, arrays["pool"],
+                 arrays["row_idx"], arrays["train_labels"], arrays["mean"],
+                 arrays["val_idx"], arrays["val_labels"], arrays["val_mask"])
+
+    # segment schedule over eval periods
+    sp = hyper.snapshot_every if hyper.snapshot_every > 0 else max(periods, 1)
+    bounds = list(range(0, periods, sp)) + [periods] if periods else [0, 0]
+    carry = init_fn((params, keys), *data_args)
+    seg_done = 0
+    if resume and state_path and os.path.exists(state_path):
+        carry, seg_done = _restore_carry(state_path, carry)
+        if mesh is not None:
+            from vit3d_ensemble_tpu.parallel.mesh import sweep_shardings
+
+            carry = jax.device_put(carry, sweep_shardings(mesh)[0])
+        logger.info("resume: group (D=%d, k=%d) continues from segment %d",
+                    group.hidden_size, group.num_heads, seg_done)
+
+    bi, bm = arrays["batch_idx"], arrays["batch_mask"]
+    n_segments = len(bounds) - 1
+    for s in range(seg_done, n_segments):
+        p0, p1 = bounds[s], bounds[s + 1]
+        if p1 == p0:
+            continue
+        B = bi.shape[-1]
+        chunk_idx = bi[:, p0 * E:p1 * E].reshape(F_pad, p1 - p0, E, B)
+        chunk_mask = bm[:, p0 * E:p1 * E].reshape(F_pad, p1 - p0, E, B)
+        carry = segment_fn(carry, *data_args, chunk_idx, chunk_mask)
+        if state_path and hyper.snapshot_every > 0:
+            _save_carry(state_path, carry, s + 1)
+        if _abort_after_segments is not None and s + 1 >= _abort_after_segments:
+            raise SimulatedPreemption(f"aborted after segment {s + 1}")
+
+    tail = ((bi[:, periods * E:], bm[:, periods * E:]) if rem > 0 else ())
+    out = finalize_fn(carry, *data_args, *tail)
+    if state_path and os.path.exists(state_path):
+        os.remove(state_path)
+    crop = lambda x: x[:G, :F]  # noqa: E731
     return GroupResult(
         group=group,
-        best_metrics=np.asarray(out["metrics"]),
-        best_probs=np.asarray(out["probs"]),
-        best_params=out["params"],
-        final_loss=np.asarray(out["loss"]),
+        best_metrics=np.asarray(out["metrics"])[:G, :F],
+        best_probs=np.asarray(out["probs"])[:G, :F],
+        best_params=jax.tree.map(crop, out["params"]),
+        final_loss=np.asarray(out["loss"])[:G, :F],
     )
 
 
@@ -297,7 +448,8 @@ def sweep_hyper_from_args(args, balanced_weights: bool = True) -> SweepHyper:
         train_batch_size=args.train_batch_size,
         learning_rate=args.learning_rate, weight_decay=args.weight_decay,
         warmup_steps=args.warmup_steps, decay_type=args.decay_type,
-        balanced_weights=balanced_weights, seed=args.seed)
+        balanced_weights=balanced_weights, seed=args.seed,
+        snapshot_every=getattr(args, "snapshot_every", 0))
 
 
 def sweep_aug_mode(args) -> str:
@@ -345,6 +497,14 @@ def run_grouped_baselines(args, data: FoldData, hyper: SweepHyper,
     from vit3d_ensemble_tpu.utils.metrics_log import default_logger
     from vit3d_ensemble_tpu.utils.profiling import profile_to
 
+    from vit3d_ensemble_tpu.parallel.mesh import mesh_from_spec
+
+    mesh = mesh_from_spec(getattr(args, "mesh", None))
+    if mesh is not None:
+        logger.info("multi-chip sweep: mesh model=%d x data=%d over %s",
+                    mesh.shape["model"], mesh.shape["data"],
+                    mesh.devices.ravel()[0].platform)
+
     state_dir = os.path.join(args.output_dir, "sweep_state")
     os.makedirs(state_dir, exist_ok=True)
     mlog = default_logger(args.output_dir)
@@ -365,7 +525,10 @@ def run_grouped_baselines(args, data: FoldData, hyper: SweepHyper,
                 continue
             logger.info("training group (D=%d, k=%d): confs %s",
                         group.hidden_size, group.num_heads, group.confs)
-            res = run_group(group, data, hyper, args.img_size)
+            res = run_group(group, data, hyper, args.img_size, mesh=mesh,
+                            state_path=marker[:-len(".json")]
+                            + "_state.msgpack",
+                            resume=getattr(args, "resume", False))
             members = unpad_group_params(res.best_params, group,
                                          args.img_size)
             group_results: Dict[int, Dict[str, Dict[str, float]]] = {}
