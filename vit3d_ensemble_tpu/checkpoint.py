@@ -121,8 +121,12 @@ def load_baseline_params(path: str, config: ViTConfig) -> Any:
 
 
 def _t(arr) -> np.ndarray:
-    return np.asarray(arr.detach().cpu().numpy() if hasattr(arr, "detach")
-                      else arr)
+    # copy=True matters: torch's .numpy() returns a VIEW of live tensor
+    # storage, and jnp.asarray on the CPU backend can be zero-copy — an
+    # imported param tree would silently track subsequent in-place torch
+    # optimizer updates.
+    return np.array(arr.detach().cpu().numpy() if hasattr(arr, "detach")
+                    else arr, copy=True)
 
 
 def torch_vit_to_flax(state: Mapping[str, Any], config: ViTConfig,
