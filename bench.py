@@ -79,18 +79,32 @@ def main() -> None:
         float(fwd_n(params, x))
 
     t0 = time.perf_counter()
-    acc = 0.0
-    for fwd_n, params in fwds:
-        acc += float(fwd_n(params, x))      # scalar fetch = true sync
+    # dispatch all 3 shape-class programs before fetching: the fetch is the
+    # only true sync on this tunnel, and a per-group fetch would serialize
+    # host round-trips between groups.
+    accs = [fwd_n(params, x) for fwd_n, params in fwds]
+    acc = sum(float(a) for a in accs)       # scalar fetch = true sync
     dt = time.perf_counter() - t0
 
     volumes_per_sec = B * iters / dt
+
+    # MFU accounting: analytical matmul FLOPs of all 18 models per volume
+    # vs the chip's peak (v5e bf16 ~197 TFLOPS; the bench runs bf16).
+    from vit3d_ensemble_tpu.configs import ViTConfig
+
+    flops_per_volume = sum(
+        ViTConfig.from_conf(c).forward_flops() for c in range(1, 19))
+    peak_bf16 = 197e12
+    tflops = volumes_per_sec * flops_per_volume / 1e12
     print(json.dumps({
         "metric": "volumes/sec/chip (18-ViT batched inference)",
         "value": round(volumes_per_sec, 1),
         "unit": "volumes/s",
         "vs_baseline": round(volumes_per_sec / REFERENCE_ALL18_VOLUMES_PER_SEC,
                              1),
+        "flops_per_volume": flops_per_volume,
+        "tflops": round(tflops, 2),
+        "mfu_pct": round(100.0 * tflops * 1e12 / peak_bf16, 2),
     }))
 
 

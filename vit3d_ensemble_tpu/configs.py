@@ -120,6 +120,20 @@ class ViTConfig:
     def seq_len(self) -> int:
         return self.n_patches + 1  # + CLS token
 
+    def forward_flops(self) -> int:
+        """Analytical forward FLOPs per volume (matmul terms only; LN,
+        softmax, GELU are bandwidth-bound and excluded).  Used for the MFU
+        accounting in bench.py / docs/RESULTS.md."""
+        T = self.seq_len
+        D = self.hidden_size
+        per_layer = (8 * T * D * D          # QKV + out projections
+                     + 4 * T * T * D        # scores + context (all heads)
+                     + 4 * T * D * self.mlp_dim)   # fc1 + fc2
+        embed = 2 * self.n_patches * D * (
+            self.patch_size[0] * self.patch_size[1] * self.patch_size[2]
+            * self.in_channels)
+        return embed + self.num_layers * per_layer + 2 * D * self.num_classes
+
     @classmethod
     def from_conf(cls, conf: int, img_size: int = 128, **overrides) -> "ViTConfig":
         ps, dim, n, hs, nh = parameters_config(conf)
