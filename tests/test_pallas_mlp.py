@@ -32,6 +32,30 @@ def test_fused_mlp_matches_reference(mlp_data, active):
                                rtol=1e-4)
 
 
+def test_fused_mlp_bf16_poly_gelu(mlp_data):
+    """The bf16 path's polynomial erf must agree with exact GELU to well
+    under bf16 resolution (and the wrapper-folded width mask must hold)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    x, w1, b1, w2, b2 = mlp_data
+    cast = lambda a: a.astype(jnp.bfloat16)  # noqa: E731
+    ref = _reference_mlp(x, w1, b1, w2, b2, 64)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_mlp(cast(x), cast(w1), cast(b1), cast(w2), cast(b2), 64)
+    assert out.dtype == jnp.bfloat16
+    # bf16 matmuls dominate the tolerance; the poly erf sits well below it
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               atol=0.05, rtol=0.05)
+
+    # the polynomial itself: 1e-4-grade agreement with exact gelu
+    from vit3d_ensemble_tpu.ops.pallas_mlp import _poly_gelu
+
+    h = jnp.linspace(-8.0, 8.0, 20001)
+    np.testing.assert_allclose(np.asarray(_poly_gelu(h)),
+                               np.asarray(jax.nn.gelu(h, approximate=False)),
+                               atol=2e-4)
+
+
 def test_fused_mlp_gradients(mlp_data):
     from jax.experimental.pallas import tpu as pltpu
 

@@ -2,15 +2,23 @@
 
 The reference MLP widths are extreme relative to the hidden size
 (d in {2048, 3072} vs D in {16, 32, 64} — `tools.py:84-97`), so the FFN
-intermediate (tokens x 3072) dominates the model's HBM traffic: XLA cannot
-fuse through two matmuls, and at batch 128 the per-layer intermediate is
-~50 MB written + read back.  This kernel tiles tokens and keeps the
-intermediate entirely in VMEM; both weight matrices (64x3072 — well under
-VMEM) are resident per program.
+intermediate (tokens x 3072) dominates the model's HBM traffic AND its VPU
+time: XLA cannot fuse through two matmuls, and every elementwise pass over
+the intermediate costs more than the matmuls themselves at these hidden
+sizes.  This kernel tiles tokens, keeps the intermediate entirely in VMEM,
+and spends the fewest possible VPU passes on it:
 
-Supports the sweep's runtime width masking: `mlp_active` zeroes trailing
-hidden columns after the GELU (exactly the `models.vit3d.Mlp` semantics),
-passed as a scalar-prefetch argument.
+  * the sweep's runtime width mask (`mlp_active`) is folded into the fc2
+    ROWS in the wrapper (`w2 * (col < active)` — exact: the mask is 0/1 and
+    h is finite), so the kernel does no iota/compare/where over the
+    intermediate at all;
+  * GELU uses erf evaluated WITHOUT exp or divide: measured on v5e, the
+    erf evaluation was ~46% of total 18-model inference time.  The f32
+    path keeps the A&S 7.1.26 approximation (1.5e-7, parity grade; Mosaic
+    has no erf primitive).  The bf16 path uses a clamped odd polynomial
+    erf(x) ~= y*P(y^2), y = clamp(x, +-3), fitted to 6.6e-5 max abs error
+    — an order below the bf16 ulp at erf's scale, and ~3x fewer VPU
+    cycles than the exp-based form.
 
 Backward: custom VJP recomputes through the XLA formulation, so the kernel
 drops into training code unchanged (fused forward, exact gradients).
@@ -26,6 +34,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_N = 512
+
+#: erf(x) ~= y * P(y^2 / B^2), y = clamp(x, -B, B) — least-squares fit on
+#: [0, B] (this file's docstring; fitted 2026-08-16, max abs err 6.56e-5
+#: in f32 Horner evaluation, gelu abs err 1.12e-4).  Only for bf16 outputs:
+#: error is ~an order below bf16 resolution (ulp at erf~1 is 3.9e-3).
+_BF16_ERF_B = 3.0
+_BF16_ERF_COEFS = (
+    1.128277941e+00, -3.378401591e+00, 9.006891597e+00, -1.836879888e+01,
+    2.804836218e+01, -3.072344633e+01, 2.246972421e+01, -9.705698338e+00,
+    1.856434130e+00,
+)
 
 
 def _erf_approx(x):
@@ -47,15 +66,35 @@ def _erf_gelu(h):
     return 0.5 * h * (1.0 + _erf_approx(h * (2.0 ** -0.5)))
 
 
-def _mlp_kernel(active_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+def _poly_gelu(h):
+    """GELU via the clamped polynomial erf — no exp, no divide, no
+    sign/abs (x*P(x^2) is odd by construction).  bf16-output accuracy."""
+    z = h * (2.0 ** -0.5)
+    y = jnp.clip(z, -_BF16_ERF_B, _BF16_ERF_B)
+    t = y * y * (1.0 / (_BF16_ERF_B * _BF16_ERF_B))
+    acc = jnp.float32(_BF16_ERF_COEFS[-1])
+    for c in _BF16_ERF_COEFS[-2::-1]:
+        acc = acc * t + c
+    return 0.5 * h * (1.0 + y * acc)
+
+
+def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
+                fast_gelu: bool):
     x = x_ref[...]
     h = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
-    h = h + b1_ref[...].astype(jnp.float32)
-    h = _erf_gelu(h)
-    cols = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
-    h = jnp.where(cols < active_ref[0], h, 0.0).astype(x.dtype)
-    out = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
-    o_ref[...] = (out + b2_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+    h = h + b1_ref[0].astype(jnp.float32)
+    h = _poly_gelu(h) if fast_gelu else _erf_gelu(h)
+    out = jnp.dot(h.astype(x.dtype), w2_ref[...],
+                  preferred_element_type=jnp.float32)
+    o_ref[...] = (out + b2_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+# NOTE (measured, v5e, 2026-08-16): a software-pipelined variant (grid of
+# n_tiles+1 steps, fc1_i under one pl.when and gelu+fc2_{i-1} under another,
+# double-buffered h scratch) benchmarked 20% SLOWER than this sequential
+# kernel (3485 vs 4317 vol/s on the 18-model bench) — Mosaic does not
+# overlap the predicated MXU/VPU regions, and the extra grid step plus
+# scratch round-trip cost more than they save.  Keep the kernel sequential.
 
 
 def _fused_mlp_impl(x, w1, b1, w2, b2, mlp_active):
@@ -71,36 +110,44 @@ def _fused_mlp_impl(x, w1, b1, w2, b2, mlp_active):
     if n_pad != n:
         x2 = jnp.pad(x2, [(0, n_pad - n), (0, 0)])
 
-    active = jnp.asarray(mlp_active, jnp.int32).reshape(1)
+    # fold the width mask into fc2 rows: (h * m) @ w2 == h @ (m[:, None] *
+    # w2) exactly (m is 0/1), so the kernel never touches the (TILE_N, M)
+    # intermediate with mask ops.
+    mask = (jnp.arange(M) < jnp.asarray(mlp_active, jnp.int32))
+    w2m = w2 * mask[:, None].astype(w2.dtype)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_pad // TILE_N,),
+    # bf16 outputs tolerate the short polynomial erf; f32 keeps A&S.
+    fast_gelu = x.dtype == jnp.bfloat16
+    n_tiles = n_pad // TILE_N
+    cost = pl.CostEstimate(
+        flops=4 * n_pad * D * M,
+        bytes_accessed=(n_pad * D * 2 + 2 * D * M) * x2.dtype.itemsize,
+        transcendentals=0 if fast_gelu else n_pad * M,
+    )
+    w_specs = [
+        pl.BlockSpec((D, M), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, M), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((M, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = (x2, w1, b1.reshape(1, M), w2m, b2.reshape(1, D))
+
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((TILE_N, D), lambda i, *_: (i, 0),
+            pl.BlockSpec((TILE_N, D), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, M), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((M,), lambda i, *_: (0,),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, D), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((D,), lambda i, *_: (0,),
-                         memory_space=pltpu.VMEM),
+            *w_specs,
         ],
-        out_specs=pl.BlockSpec((TILE_N, D), lambda i, *_: (i, 0),
+        out_specs=pl.BlockSpec((TILE_N, D), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        _mlp_kernel,
+        functools.partial(_mlp_kernel, fast_gelu=fast_gelu),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, D), x.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * n_pad * D * M,
-            bytes_accessed=(n_pad * D * 2 + 2 * D * M) * x2.dtype.itemsize,
-            transcendentals=n_pad * M,
-        ),
-    )(active, x2, w1, b1, w2, b2)
+        cost_estimate=cost,
+    )(*args)
     return out[:n].reshape(orig_shape)
 
 
