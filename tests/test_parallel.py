@@ -96,6 +96,38 @@ def test_cli_sweep_with_mesh(mesh8, tmp_path):
             "cv2.msgpack").exists()
 
 
+def test_meta_sweep_sharded_matches_unsharded(mesh8):
+    """The frozen ensemble meta-head sweep shards its (combo, fold) grid
+    over the mesh and reproduces the single-device results exactly —
+    including padding (10 combos, 3 folds on a 2x4 mesh)."""
+    from vit3d_ensemble_tpu.sweep.ensemble_sweep import (
+        MetaHyper,
+        train_meta_sweep,
+    )
+
+    rng = np.random.default_rng(7)
+    C_conf, F, N, V = 5, 3, 24, 8
+    combos = np.array([(a + 1, b + 1, c + 1)
+                       for a in range(C_conf) for b in range(a + 1, C_conf)
+                       for c in range(b + 1, C_conf)], np.int32)  # C(5,3)=10
+    TL = rng.normal(size=(F, C_conf, N)).astype(np.float32)
+    TY = rng.integers(0, 2, size=(F, N)).astype(np.float32)
+    TM = np.ones((F, N), np.float32)
+    VL = rng.normal(size=(F, C_conf, V)).astype(np.float32)
+    VY = np.tile([0.0, 1.0], V // 2).astype(np.float32)[None].repeat(F, 0)
+    VM = np.ones((F, V), np.float32)
+    conf_index = {c + 1: c for c in range(C_conf)}
+    hyper = MetaHyper(num_epochs=3, train_batch_size=4)
+
+    m_plain, meta_plain = train_meta_sweep(combos, TL, TY, TM, VL, VY, VM,
+                                           conf_index, hyper)
+    m_mesh, meta_mesh = train_meta_sweep(combos, TL, TY, TM, VL, VY, VM,
+                                         conf_index, hyper, mesh=mesh8)
+    assert m_mesh.shape == (10, F, 11)
+    np.testing.assert_allclose(m_mesh, m_plain, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(meta_mesh, meta_plain, rtol=1e-5, atol=1e-6)
+
+
 def test_mesh_from_spec():
     from vit3d_ensemble_tpu.parallel.mesh import mesh_from_spec
 

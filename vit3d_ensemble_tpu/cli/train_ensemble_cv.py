@@ -135,10 +135,15 @@ def run_frozen(args) -> Dict[str, Dict[str, Dict[str, float]]]:
     hyper = MetaHyper(num_epochs=args.num_epochs,
                       train_batch_size=args.train_batch_size,
                       learning_rate=args.learning_rate, seed=args.seed)
-    logger.info("frozen-backbone sweep: %d combos x %d folds",
-                len(combos), F)
+    from vit3d_ensemble_tpu.parallel.mesh import mesh_from_spec
+
+    mesh = mesh_from_spec(getattr(args, "mesh", None))
+    logger.info("frozen-backbone sweep: %d combos x %d folds%s",
+                len(combos), F,
+                "" if mesh is None else
+                f" on mesh {dict(mesh.shape)}")
     metrics, meta = train_meta_sweep(combos, TL, TY, TM, VL, VY, VM,
-                                     conf_index, hyper)
+                                     conf_index, hyper, mesh=mesh)
 
     results: Dict[str, Dict[str, Dict[str, float]]] = {}
     for ci, comb in enumerate(combos):

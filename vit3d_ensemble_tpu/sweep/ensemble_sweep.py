@@ -134,9 +134,14 @@ def train_meta_sweep(
     val_mask: np.ndarray,               # (F, V)
     conf_index: Mapping[int, int],      # conf number -> row in logits
     hyper: MetaHyper = MetaHyper(),
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Train every (combo, fold) meta head; returns
-    (best_metrics (C, F, 11), best_meta_params as (C, F, 4) [w1 w2 w3 b])."""
+    (best_metrics (C, F, 11), best_meta_params as (C, F, 4) [w1 w2 w3 b]).
+
+    With `mesh` (Mesh('model', 'data')) the (combo, fold) grid shards over
+    the chips — combos over 'model', folds over 'data'; axis lengths that
+    do not divide the mesh are padded with duplicate work and cropped."""
     C = combos.shape[0]
     F, _, N = train_logits.shape
     B = hyper.train_batch_size
@@ -220,18 +225,62 @@ def train_meta_sweep(
     init_rng = jax.random.key(hyper.seed)
     kw, kb = jax.random.split(init_rng)
     bound = 1.0 / np.sqrt(3.0)
-    w0 = jax.random.uniform(kw, (C, F, 3), minval=-bound, maxval=bound)
-    b0 = jax.random.uniform(kb, (C, F), minval=-bound, maxval=bound)
+    w0 = np.asarray(jax.random.uniform(kw, (C, F, 3), minval=-bound,
+                                       maxval=bound))
+    b0 = np.asarray(jax.random.uniform(kb, (C, F), minval=-bound,
+                                       maxval=bound))
+
+    def rep_pad(arr, n, axis=0):
+        if arr.shape[axis] == n:
+            return arr
+        reps = np.repeat(np.take(arr, [0], axis=axis),
+                         n - arr.shape[axis], axis=axis)
+        return np.concatenate([arr, reps], axis=axis)
+
+    C_pad, F_pad = C, F
+    if mesh is not None:
+        cm, fd = mesh.shape["model"], mesh.shape["data"]
+        C_pad = -(-C // cm) * cm
+        F_pad = -(-F // fd) * fd
+    combo_arrs = dict(
+        w0=rep_pad(rep_pad(w0, C_pad), F_pad, 1),
+        b0=rep_pad(rep_pad(b0, C_pad), F_pad, 1),
+        member_rows=rep_pad(member_rows, C_pad))
+    fold_arrs = dict(
+        train_logits=rep_pad(train_logits, F_pad),
+        train_labels=rep_pad(train_labels, F_pad),
+        batch_idx=rep_pad(batch_idx, F_pad),
+        batch_msk=rep_pad(batch_msk, F_pad),
+        val_logits=rep_pad(val_logits, F_pad),
+        val_labels=rep_pad(val_labels, F_pad),
+        val_mask=rep_pad(val_mask, F_pad))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        grid_sh = NamedSharding(mesh, P("model", "data"))
+        combo_sh = NamedSharding(mesh, P("model"))
+        fold_sh = NamedSharding(mesh, P("data"))
+        put = lambda a, s: jax.device_put(jnp.asarray(a), s)  # noqa: E731
+        combo_arrs = {
+            "w0": put(combo_arrs["w0"], grid_sh),
+            "b0": put(combo_arrs["b0"], grid_sh),
+            "member_rows": put(combo_arrs["member_rows"], combo_sh)}
+        fold_arrs = {k: put(v, fold_sh) for k, v in fold_arrs.items()}
+    else:
+        combo_arrs = {k: jnp.asarray(v) for k, v in combo_arrs.items()}
+        fold_arrs = {k: jnp.asarray(v) for k, v in fold_arrs.items()}
 
     fold_axes = (0, 0, None, 0, 0, 0, 0, 0, 0, 0)
     combo_axes = (0, 0, 0, None, None, None, None, None, None, None)
     fn = jax.jit(jax.vmap(jax.vmap(train_one, in_axes=fold_axes),
                           in_axes=combo_axes))
-    metrics, meta = fn(w0, b0, jnp.asarray(member_rows),
-                       jnp.asarray(train_logits), jnp.asarray(train_labels),
-                       jnp.asarray(batch_idx), jnp.asarray(batch_msk),
-                       jnp.asarray(val_logits), jnp.asarray(val_labels),
-                       jnp.asarray(val_mask))
+    metrics, meta = fn(combo_arrs["w0"], combo_arrs["b0"],
+                       combo_arrs["member_rows"],
+                       fold_arrs["train_logits"], fold_arrs["train_labels"],
+                       fold_arrs["batch_idx"], fold_arrs["batch_msk"],
+                       fold_arrs["val_logits"], fold_arrs["val_labels"],
+                       fold_arrs["val_mask"])
     meta_flat = np.concatenate(
-        [np.asarray(meta["w"]), np.asarray(meta["b"])[..., None]], axis=-1)
-    return np.asarray(metrics), meta_flat
+        [np.asarray(meta["w"])[:C, :F],
+         np.asarray(meta["b"])[:C, :F, None]], axis=-1)
+    return np.asarray(metrics)[:C, :F], meta_flat
