@@ -2,10 +2,14 @@
 
 Measures, on the real chip:
   * per-shape-class group time + achieved TFLOPS (where does time go?)
-  * batch-size scaling (128 / 256 / 512)
+  * batch-size scaling (128 / 256 / 512), with all-3-groups dispatch
+    overlap (one sync fetch)
   * MLP impl ablation (xla vs pallas)
-  * attention share: full model vs attention-free ablation
-  * one-program-for-all-groups vs 3 programs
+
+(The attention-share and GELU-share ablations that drove the round-2
+optimizations were measured by monkeypatching `ops.attention.
+dot_product_attention` / `ops.pallas_mlp._poly_gelu` to identity — results
+in docs/RESULTS.md: attention <1%, erf-GELU ~46% before the poly fix.)
 
 Run:  PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/mfu_experiments.py
 """
@@ -20,18 +24,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def group_fwd(group, B, iters, img=128, mlp_impl="pallas", skip_attn=False):
+def group_fwd(group, B, iters, img=128, mlp_impl="pallas"):
     from vit3d_ensemble_tpu.models import VisionTransformer3D
     from vit3d_ensemble_tpu.ops.mlp import set_default_mlp_impl
     from vit3d_ensemble_tpu.sweep.stack import init_group_params
 
     set_default_mlp_impl(mlp_impl)
     template = group.template_config(img)
-    if skip_attn:
-        import dataclasses
-
-        template = dataclasses.replace(template, skip_attention=True) \
-            if hasattr(template, "skip_attention") else template
     model = VisionTransformer3D(template, zero_head=True, vis=False)
     params = jax.tree.map(lambda a: a[:, 0].astype(jnp.bfloat16),
                           init_group_params(group, 1, 42, img))

@@ -16,49 +16,12 @@ import pytest
 
 @pytest.fixture(scope="module")
 def synth_root(tmp_path_factory):
-    """8 patients x 4 aug folders x 12 PNG slices + all split CSVs."""
-    from PIL import Image
+    """8 patients x 4 aug folders x 12 PNG slices + all split CSVs
+    (single source of truth: __graft_entry__._synth_dataset)."""
+    from __graft_entry__ import _synth_dataset
 
     root = tmp_path_factory.mktemp("cli_data")
-    ds = root / "dataset"
-    rng = np.random.default_rng(0)
-    patients = [f"P-{i:04d}" for i in range(8)]
-    for pi, pat in enumerate(patients):
-        base = rng.integers(0, 200, size=(12, 32, 32), dtype=np.uint8)
-        for folder in ("original", "rotation", "vertical_flip",
-                       "horizontal_flip"):
-            d = ds / pat / folder
-            d.mkdir(parents=True)
-            for j in range(1, 13):
-                Image.fromarray(base[j - 1]).save(d / f"1-{j:02d}.png")
-
-    def manifest(pats, labels):
-        return pd.DataFrame({
-            "Patient": pats,
-            "Label": labels,
-            "Zone": ["PZ"] * len(pats),
-            "GG": [2] * len(pats),
-            "z0": [5] * len(pats),
-            "Lesion": [1] * len(pats),
-        })
-
-    fixed = root / "csv_files" / "fixed_split"
-    cv = root / "csv_files" / "cross_validation"
-    fixed.mkdir(parents=True)
-    cv.mkdir(parents=True)
-    labels = ["LG", "HG"] * 4
-    manifest(patients[:6], labels[:6]).to_csv(fixed / "training.csv",
-                                              index=False)
-    manifest(patients[6:], labels[6:]).to_csv(fixed / "validation.csv",
-                                              index=False)
-    manifest(patients[6:], labels[6:]).to_csv(fixed / "test.csv",
-                                              index=False)
-    for k in (1, 2):
-        manifest(patients[:6], labels[:6]).to_csv(
-            cv / f"training_cv{k}.csv", index=False)
-        manifest(patients[6:], labels[6:]).to_csv(
-            cv / f"validation_cv{k}.csv", index=False)
-    manifest(patients[6:], labels[6:]).to_csv(cv / "test.csv", index=False)
+    _synth_dataset(str(root), img=32, num_cv=2, fixed_split=True)
     return root
 
 

@@ -35,10 +35,16 @@ from vit3d_ensemble_tpu.configs import ViTConfig
 
 
 def save_pytree(path: str, tree: Any) -> None:
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    """Atomic write (temp file + rename): checkpoint/snapshot writes must
+    survive the very preemptions they exist to recover from — a truncated
+    state file would make --resume crash instead of resuming."""
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     tree = jax.device_get(tree)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(tree))
+    os.replace(tmp, path)
 
 
 def restore_pytree(path: str, target: Any) -> Any:

@@ -92,22 +92,38 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-@functools.lru_cache(maxsize=32)
+@functools.lru_cache(maxsize=16)
+def _cached_split_impl(csv_file: str, csv_mtime: float, data_root: str,
+                       size: int, ood: bool, ood_mean: float,
+                       ood_var: float, ood_seed: int):
+    return load_split(csv_file, data_root, size=size, ood=ood,
+                      ood_mean=ood_mean, ood_var=ood_var, ood_seed=ood_seed)
+
+
 def _cached_split(csv_file: str, data_root: str, size: int,
                   ood: bool = False, ood_mean: float = 0.0,
                   ood_var: float = 1.0, ood_seed: int = 0):
     """Memoize split loads for the duration of the process: test_baseline
     and test_ensemble each walk the same folds, and every fold re-derives
     its normalization mean from the (heavily overlapping) training CSVs —
-    without the cache that is 2 x cv redundant decodes of ~70 volumes."""
-    return load_split(csv_file, data_root, size=size, ood=ood,
-                      ood_mean=ood_mean, ood_var=ood_var, ood_seed=ood_seed)
+    without the cache that is 2 x cv redundant decodes of ~70 volumes.
+    Keyed by the manifest's mtime so a regenerated CSV is not served
+    stale within one long-lived process."""
+    return _cached_split_impl(csv_file, os.path.getmtime(csv_file),
+                              data_root, size, ood, ood_mean, ood_var,
+                              ood_seed)
 
 
-@functools.lru_cache(maxsize=32)
-def _fold_train_mean(csv_file: str, data_root: str, size: int) -> float:
+@functools.lru_cache(maxsize=16)
+def _fold_train_mean_impl(csv_file: str, csv_mtime: float, data_root: str,
+                          size: int) -> float:
     train = _cached_split(csv_file, data_root, size)
     return float(np.mean(train.volumes, dtype=np.float64))
+
+
+def _fold_train_mean(csv_file: str, data_root: str, size: int) -> float:
+    return _fold_train_mean_impl(csv_file, os.path.getmtime(csv_file),
+                                 data_root, size)
 
 
 def _fold_test_split(args, cv: int):
@@ -332,6 +348,13 @@ def main(argv=None):
         # the best-ranked combo stands in as "the ensemble" for the
         # cross-model statistics below
         res_ens = all_res[ranking[0][0]]
+        if args.baseline:
+            logger.warning(
+                "statistics below compare the baseline against the combo "
+                "selected POST HOC by test-set AUROC over %d candidates — "
+                "the p-values carry selection bias; for honest inference "
+                "test a pre-registered combination with --ensemble",
+                len(ranking))
     elif args.ensemble:
         res_ens = test_ensemble(args)
     stats = None

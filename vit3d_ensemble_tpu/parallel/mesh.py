@@ -50,7 +50,10 @@ def mesh_from_spec(spec: Optional[str]) -> Optional[Mesh]:
         m, d = (int(tok) for tok in str(spec).lower().split("x"))
     except ValueError:
         raise ValueError(f"--mesh expects 'MxN' or 'auto', got {spec!r}")
-    if m * d <= 1:
+    if m <= 0 or d <= 0:
+        # a typo like '0x8' must not silently degrade to single-chip
+        raise ValueError(f"--mesh axes must be positive, got {spec!r}")
+    if m * d == 1:
         return None
     return make_mesh(m, d)
 

@@ -288,14 +288,15 @@ def make_group_programs(group: ConfigGroup, hyper: SweepHyper,
     return init_fn, segment_fn, finalize_fn, periods, rem
 
 
-def _rep_pad(arr: np.ndarray, n: int) -> np.ndarray:
-    """Pad the leading axis to n by repeating entry 0 (duplicate work that
+def _rep_pad(arr: np.ndarray, n: int, axis: int = 0) -> np.ndarray:
+    """Pad `axis` to length n by repeating entry 0 (duplicate work that
     is cropped from the results; needed only when a mesh axis does not
     divide the true axis length)."""
-    if arr.shape[0] == n:
+    if arr.shape[axis] == n:
         return arr
-    reps = np.repeat(arr[:1], n - arr.shape[0], axis=0)
-    return np.concatenate([arr, reps], axis=0)
+    reps = np.repeat(np.take(arr, [0], axis=axis), n - arr.shape[axis],
+                     axis=axis)
+    return np.concatenate([arr, reps], axis=axis)
 
 
 def _save_carry(path: str, carry, segments_done: int) -> None:
@@ -309,14 +310,14 @@ def _save_carry(path: str, carry, segments_done: int) -> None:
                        "segments_done": np.asarray(segments_done, np.int64)})
 
 
-def _restore_carry(path: str, carry_template):
+def _restore_carry(path: str, template_np):
+    """template_np: host-side (np zeros) pytree matching the saved blob —
+    built from eval_shape, NOT from a device fetch (padded params + opt
+    state can be hundreds of MB over the remote-device tunnel)."""
     from vit3d_ensemble_tpu.checkpoint import restore_pytree
 
-    t = dict(carry_template)
-    t["rng"] = jax.random.key_data(t["rng"])
-    target = jax.device_get({"carry": t,
-                             "segments_done": np.asarray(0, np.int64)})
-    blob = restore_pytree(path, target)
+    blob = restore_pytree(path, {"carry": template_np,
+                                 "segments_done": np.asarray(0, np.int64)})
     c = dict(blob["carry"])
     c["rng"] = jax.random.wrap_key_data(jnp.asarray(c["rng"]))
     return c, int(blob["segments_done"])
@@ -397,16 +398,27 @@ def run_group(group: ConfigGroup, data: FoldData, hyper: SweepHyper,
     # segment schedule over eval periods
     sp = hyper.snapshot_every if hyper.snapshot_every > 0 else max(periods, 1)
     bounds = list(range(0, periods, sp)) + [periods] if periods else [0, 0]
-    carry = init_fn((params, keys), *data_args)
-    seg_done = 0
+    carry, seg_done = None, 0
     if resume and state_path and os.path.exists(state_path):
-        carry, seg_done = _restore_carry(state_path, carry)
-        if mesh is not None:
-            from vit3d_ensemble_tpu.parallel.mesh import sweep_shardings
+        shapes = dict(jax.eval_shape(init_fn, (params, keys), *data_args))
+        shapes["rng"] = jax.eval_shape(jax.random.key_data, keys)
+        template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
+        try:
+            carry, seg_done = _restore_carry(state_path, template)
+        except Exception as exc:  # truncated/mismatched state: restart group
+            logger.warning("resume state %s unreadable (%s); restarting "
+                           "the group from scratch", state_path, exc)
+            carry, seg_done = None, 0
+        else:
+            if mesh is not None:
+                from vit3d_ensemble_tpu.parallel.mesh import sweep_shardings
 
-            carry = jax.device_put(carry, sweep_shardings(mesh)[0])
-        logger.info("resume: group (D=%d, k=%d) continues from segment %d",
-                    group.hidden_size, group.num_heads, seg_done)
+                carry = jax.device_put(carry, sweep_shardings(mesh)[0])
+            logger.info("resume: group (D=%d, k=%d) continues from "
+                        "segment %d", group.hidden_size, group.num_heads,
+                        seg_done)
+    if carry is None:
+        carry = init_fn((params, keys), *data_args)
 
     bi, bm = arrays["batch_idx"], arrays["batch_mask"]
     n_segments = len(bounds) - 1
@@ -468,11 +480,15 @@ def sweep_marker_path(state_dir: str, marker_prefix: str,
     """Resume-marker file for one group.  Keyed by the full run fingerprint
     (conf set + fold count + hyperparameters), not just the shape class — a
     (D,k)-only key would let --resume silently reuse a DIFFERENT config's
-    or hyper setting's results."""
+    or hyper setting's results.  snapshot_every is excluded: it is a purely
+    operational knob (results are proven identical across cadences), and
+    keying on it would make --resume with a changed cadence silently
+    discard every completed group."""
     import hashlib
     import os
 
-    fp = hashlib.sha1(repr((group.confs, n_folds, hyper))
+    hyper_key = dataclasses.replace(hyper, snapshot_every=0)
+    fp = hashlib.sha1(repr((group.confs, n_folds, hyper_key))
                       .encode()).hexdigest()[:12]
     return os.path.join(
         state_dir,
@@ -525,9 +541,16 @@ def run_grouped_baselines(args, data: FoldData, hyper: SweepHyper,
                 continue
             logger.info("training group (D=%d, k=%d): confs %s",
                         group.hidden_size, group.num_heads, group.confs)
+            # mid-group state IS keyed by snapshot cadence and mesh shape:
+            # segment boundaries and padded carry shapes differ across them,
+            # so a stale-keyed state would restore garbage (restart instead).
+            mesh_tag = ("1x1" if mesh is None else
+                        f"{mesh.shape['model']}x{mesh.shape['data']}")
+            state_path = (marker[:-len(".json")]
+                          + f"_state_s{hyper.snapshot_every}"
+                          + f"_m{mesh_tag}.msgpack")
             res = run_group(group, data, hyper, args.img_size, mesh=mesh,
-                            state_path=marker[:-len(".json")]
-                            + "_state.msgpack",
+                            state_path=state_path,
                             resume=getattr(args, "resume", False))
             members = unpad_group_params(res.best_params, group,
                                          args.img_size)

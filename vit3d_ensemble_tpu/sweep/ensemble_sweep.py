@@ -230,12 +230,7 @@ def train_meta_sweep(
     b0 = np.asarray(jax.random.uniform(kb, (C, F), minval=-bound,
                                        maxval=bound))
 
-    def rep_pad(arr, n, axis=0):
-        if arr.shape[axis] == n:
-            return arr
-        reps = np.repeat(np.take(arr, [0], axis=axis),
-                         n - arr.shape[axis], axis=axis)
-        return np.concatenate([arr, reps], axis=axis)
+    from vit3d_ensemble_tpu.sweep.engine import _rep_pad as rep_pad
 
     C_pad, F_pad = C, F
     if mesh is not None:
