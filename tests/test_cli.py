@@ -132,6 +132,14 @@ def test_cli_ensemble_pipeline(synth_root, tmp_path):
     assert (out / "cv_ensemble_models" / "ensemble_1_2_3" /
             "cv1.msgpack").exists()
 
+    # e2e sweep resume: completed combos reload from markers (no retrain)
+    res_resumed = ens_d.main([
+        "--max_configs", "4", "--num_epochs", "2", "--num_cv", "1",
+        "--end_to_end", "--resume", "--workbook", "Ensemble_CV_e2e",
+        *_common(synth_root, out, "cross_validation"),
+    ])
+    assert res_resumed == res_e2e
+
     # end-to-end ensemble retrain on the fixed split
     m = ensw_d.main([
         "--ensemble_conf_list", "1,2,3", "--num_epochs", "2",

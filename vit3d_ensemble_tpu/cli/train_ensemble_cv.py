@@ -160,24 +160,46 @@ def run_frozen(args) -> Dict[str, Dict[str, Dict[str, float]]]:
 
 
 def run_end_to_end(args) -> Dict[str, Dict[str, Dict[str, float]]]:
+    """Reference-faithful mode.  At C(18,3) x num_cv full-ensemble retrains
+    this is the framework's longest job, so each completed combination's
+    results persist as a marker under output_dir/sweep_state/ and --resume
+    skips them after preemption (the frozen mode needs no markers — the
+    whole 816-combo sweep is seconds)."""
+    import json
     from itertools import combinations as it_combinations
 
     from vit3d_ensemble_tpu.train.ensemble_trainer import train_ensemble
 
+    state_dir = os.path.join(args.output_dir, "sweep_state")
+    os.makedirs(state_dir, exist_ok=True)
+    fingerprint = (f"{args.num_cv}cv_{args.num_epochs}ep_"
+                   f"{args.train_batch_size}b_{args.learning_rate}lr_"
+                   f"{args.seed}s")
+
     results: Dict[str, Dict[str, Dict[str, float]]] = {}
     combos = list(it_combinations(range(1, args.max_configs),
                                   args.combinations))
+    folds = None
     for comb in combos:
         name = "_".join(str(c) for c in comb)
+        marker = os.path.join(state_dir,
+                              f"e2e_{name}_{fingerprint}.json")
+        if getattr(args, "resume", False) and os.path.exists(marker):
+            with open(marker) as f:
+                results[name] = json.load(f)
+            logger.info("resume: skipping completed ensemble %s", name)
+            continue
+        if folds is None:       # load the fold data once, lazily
+            folds = [build_train_val(
+                os.path.join(args.csv_path, f"training_cv{cv + 1}.csv"),
+                os.path.join(args.csv_path, f"validation_cv{cv + 1}.csv"),
+                args.data_root, aug_mode="none", size=args.img_size)
+                for cv in range(args.num_cv)]
         loaded = [_load_member(args, c) for c in comb]
         configs = [cfg for cfg, _ in loaded]
         members = [p for _, p in loaded]
         results[name] = {}
-        for cv in range(args.num_cv):
-            t, v, _ = build_train_val(
-                os.path.join(args.csv_path, f"training_cv{cv + 1}.csv"),
-                os.path.join(args.csv_path, f"validation_cv{cv + 1}.csv"),
-                args.data_root, aug_mode="none", size=args.img_size)
+        for cv, (t, v, _) in enumerate(folds):
             save = ensemble_ckpt_path(args.output_dir, "cv_ensemble", name,
                                       f"cv{cv + 1}")
             res = train_ensemble(configs, members, t, v,
@@ -189,6 +211,10 @@ def run_end_to_end(args) -> Dict[str, Dict[str, Dict[str, float]]]:
             results[name][f"CV {cv + 1}"] = dict(res.metrics)
             logger.info("ensemble %s cv%d AUROC %.4f", name, cv + 1,
                         res.metrics["AUROC"])
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(results[name], f)
+        os.replace(tmp, marker)
     return results
 
 
