@@ -1,15 +1,23 @@
 """Headline benchmark: 18-ViT batched inference throughput (volumes/sec/chip).
 
 The BASELINE.json metric.  Every volume is pushed through ALL 18 baseline
-ViT configurations (the ensemble sweep's member-logit workload), batched as
-3 vmapped shape-class groups on one chip.
+ViT configurations (the ensemble sweep's member-logit workload) on one chip.
+
+Each config runs as an EXACT-shape program (its true mlp_dim and depth) in
+bf16 with the fused Pallas MLP; all 18 programs are dispatched back-to-back
+and synchronized with a single host fetch.  Exact shapes matter: the
+training sweep pads every config to its (hidden, heads) group's max
+(d=3072, L=8) so one vmapped program serves the grid, but inference padding
+is pure waste — the padded grid computes 442k layer-width units against the
+true 276k (37% overhead).
 
 Baseline for vs_baseline: the reference (torch 2.13 CPU, measured
 2026-08-16, BASELINE.md) runs single-model inference at ~203 volumes/s, so
 pushing a volume through all 18 models sequentially runs at 203/18 ~= 11.3
 volumes/s.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", + MFU
+accounting}.
 """
 
 from __future__ import annotations
@@ -26,45 +34,46 @@ def main() -> None:
     import numpy as np
 
     from vit3d_ensemble_tpu.cli._common import setup_jax_cache
+    from vit3d_ensemble_tpu.configs import ViTConfig
     from vit3d_ensemble_tpu.models import VisionTransformer3D
     from vit3d_ensemble_tpu.ops.mlp import set_default_mlp_impl
-    from vit3d_ensemble_tpu.sweep.stack import group_configs, init_group_params
 
     setup_jax_cache()
-    # fused VMEM-resident FFN kernel: the (tokens, 3072) intermediate —
-    # the model's dominant HBM traffic — never leaves the chip.
+    # fused VMEM-resident FFN kernel: the (tokens, mlp_dim) intermediate —
+    # the model's dominant HBM traffic and VPU time — never leaves the chip.
     set_default_mlp_impl("pallas")
 
     B = 128          # volumes per step; all 18 models see every volume
     rng = np.random.default_rng(0)
-    # bfloat16 inference: 2.2x the f32 path on v5e (matmuls and HBM traffic
+    # bfloat16 inference: ~2x the f32 path on v5e (matmuls and HBM traffic
     # both halve); training and parity tests remain f32.
     x = jnp.asarray(rng.normal(size=(B, 128, 128, 5, 1))
                     .astype(np.float32)).astype(jnp.bfloat16)
 
     iters = 20
     fwds = []
-    for group in group_configs(range(1, 19)):
-        template = group.template_config(128)
-        model = VisionTransformer3D(template, zero_head=True, vis=False)
-        params = jax.tree.map(lambda a: a[:, 0].astype(jnp.bfloat16),
-                              init_group_params(group, 1, 42))
-        mlp_a = jnp.asarray(group.mlp_dims, jnp.int32)
-        lay_a = jnp.asarray(group.num_layers, jnp.int32)
+    for conf in range(1, 19):
+        cfg = ViTConfig.from_conf(conf)
+        model = VisionTransformer3D(cfg, zero_head=True, vis=False)
+
+        @jax.jit
+        def init(model=model, cfg=cfg):
+            dummy = jnp.zeros((1, cfg.img_size, cfg.img_size, cfg.z_size,
+                               cfg.in_channels), jnp.float32)
+            return model.init({"params": jax.random.key(42)},
+                              dummy)["params"]
+
+        params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), init())
 
         # all iterations inside one scanned program, each iteration with an
         # input-dependent perturbation: repeated identical dispatches can be
         # memoized by the remote executor and time as ~0.
         @jax.jit
-        def fwd_n(p, vols, ml=mlp_a, la=lay_a, model=model):
-            def one(pp, m, l, v):
-                return model.apply({"params": pp}, v, deterministic=True,
-                                   num_layers_active=l,
-                                   mlp_active=m).logits.reshape(-1)
-
+        def fwd_n(p, vols, model=model):
             def body(acc, i):
                 vi = vols * (1.0 + i.astype(vols.dtype) * 1e-6)
-                out = jax.vmap(one, in_axes=(0, 0, 0, None))(p, ml, la, vi)
+                out = model.apply({"params": p}, vi,
+                                  deterministic=True).logits
                 return acc + jnp.sum(out), None
 
             acc, _ = jax.lax.scan(body, jnp.bfloat16(0.0),
@@ -79,9 +88,9 @@ def main() -> None:
         float(fwd_n(params, x))
 
     t0 = time.perf_counter()
-    # dispatch all 3 shape-class programs before fetching: the fetch is the
-    # only true sync on this tunnel, and a per-group fetch would serialize
-    # host round-trips between groups.
+    # dispatch all 18 programs before fetching: the fetch is the only true
+    # sync on this tunnel, and a per-program fetch would serialize host
+    # round-trips between models.
     accs = [fwd_n(params, x) for fwd_n, params in fwds]
     acc = sum(float(a) for a in accs)       # scalar fetch = true sync
     dt = time.perf_counter() - t0
@@ -90,8 +99,6 @@ def main() -> None:
 
     # MFU accounting: analytical matmul FLOPs of all 18 models per volume
     # vs the chip's peak (v5e bf16 ~197 TFLOPS; the bench runs bf16).
-    from vit3d_ensemble_tpu.configs import ViTConfig
-
     flops_per_volume = sum(
         ViTConfig.from_conf(c).forward_flops() for c in range(1, 19))
     peak_bf16 = 197e12

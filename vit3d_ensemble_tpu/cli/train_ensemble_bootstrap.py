@@ -127,9 +127,14 @@ def run_frozen(args):
     hyper = MetaHyper(num_epochs=args.num_epochs,
                       train_batch_size=args.train_batch_size,
                       learning_rate=args.learning_rate, seed=args.seed)
-    logger.info("frozen bootstrap sweep: %d combos x %d reps", len(combos), R)
+    from vit3d_ensemble_tpu.parallel.mesh import mesh_from_spec
+
+    mesh = mesh_from_spec(getattr(args, "mesh", None))
+    logger.info("frozen bootstrap sweep: %d combos x %d reps%s",
+                len(combos), R,
+                "" if mesh is None else f" on mesh {dict(mesh.shape)}")
     metrics, meta = train_meta_sweep(combos, TL, TY, TM, VL, VY, VM,
-                                     conf_index, hyper)
+                                     conf_index, hyper, mesh=mesh)
 
     # held-out test evaluation of each best meta head
     member_rows = np.vectorize(conf_index.__getitem__)(combos)
