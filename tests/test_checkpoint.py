@@ -35,6 +35,20 @@ def test_save_restore_roundtrip(tmp_path):
         np.asarray(a), np.asarray(b)), jax.device_get(params), restored)
 
 
+def test_save_pytree_atomic(tmp_path):
+    """save_pytree must go through temp + rename: no partially-written
+    final file may ever exist (snapshot writes race with preemption), and
+    overwriting an existing checkpoint must work."""
+    import os
+
+    path = str(tmp_path / "ck.msgpack")
+    save_pytree(path, {"a": np.arange(4, dtype=np.float32)})
+    save_pytree(path, {"a": np.arange(4, dtype=np.float32) * 2})  # overwrite
+    assert not os.path.exists(path + ".tmp")
+    out = restore_pytree(path, {"a": np.zeros(4, np.float32)})
+    np.testing.assert_array_equal(out["a"], np.arange(4) * 2)
+
+
 def test_full_state_resume(tmp_path):
     import optax
 

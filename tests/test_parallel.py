@@ -140,6 +140,8 @@ def test_mesh_from_spec():
     assert m is not None and m.size == len(jax.devices())
     with pytest.raises(ValueError):
         mesh_from_spec("bogus")
+    with pytest.raises(ValueError):
+        mesh_from_spec("0x8")        # typo must not degrade to single-chip
 
 
 def test_dp_train_step_allreduce(mesh8):
