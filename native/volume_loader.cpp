@@ -16,9 +16,11 @@
 
 #include <png.h>
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -103,15 +105,42 @@ int v3d_decode_png_gray8(const char* path, uint8_t* out, int expected_size) {
   return decode_one(path, out, expected_size);
 }
 
-// Decode n images into (n, size, size). Returns 0, or i+1 for the first
-// path that failed.
+// Decode n images into (n, size, size), in parallel (libpng read structs
+// are per-call, so decodes are independent). Returns 0, or i+1 for the
+// lowest-indexed path that failed.
 int v3d_decode_batch(const char* const* paths, int n, uint8_t* out,
                      int size) {
   const size_t stride = static_cast<size_t>(size) * size;
-  for (int i = 0; i < n; ++i) {
-    if (decode_one(paths[i], out + stride * i, size) != 0) return i + 1;
+  unsigned hw = std::thread::hardware_concurrency();
+  int n_threads = static_cast<int>(hw ? hw : 4);
+  if (n_threads > 16) n_threads = 16;  // spawn cost beats decode past this
+  if (n_threads > n) n_threads = n;
+  if (n_threads <= 1) {
+    for (int i = 0; i < n; ++i) {
+      if (decode_one(paths[i], out + stride * i, size) != 0) return i + 1;
+    }
+    return 0;
   }
-  return 0;
+
+  std::atomic<int> next(0);
+  std::atomic<int> first_err(n);  // lowest failing index, n = none
+  std::vector<std::thread> workers;
+  workers.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) {
+    workers.emplace_back([&]() {
+      for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+        if (i >= first_err.load(std::memory_order_relaxed)) break;
+        if (decode_one(paths[i], out + stride * i, size) != 0) {
+          int cur = first_err.load();
+          while (i < cur && !first_err.compare_exchange_weak(cur, i)) {
+          }
+        }
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  int err = first_err.load();
+  return err == n ? 0 : err + 1;
 }
 
 }  // extern "C"

@@ -33,8 +33,8 @@ def _build() -> bool:
     if not os.path.exists(src):
         return False
     os.makedirs(os.path.dirname(_SO_PATH), exist_ok=True)
-    cmd = ["g++", "-O2", "-fPIC", "-Wall", "-shared", "-o", _SO_PATH, src,
-           "-lpng", "-lz"]
+    cmd = ["g++", "-O2", "-fPIC", "-Wall", "-shared", "-pthread",
+           "-o", _SO_PATH, src, "-lpng", "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
