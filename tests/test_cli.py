@@ -140,6 +140,35 @@ def test_cli_ensemble_pipeline(synth_root, tmp_path):
     ])
     assert res_resumed == res_e2e
 
+    # padded-template e2e: shared compiled program per class-multiset,
+    # checkpoints cropped back to true-config shapes
+    out_pad = tmp_path / "out_pad"
+    for c in (1, 2, 3):
+        import shutil
+
+        src = out / "baseline_models" / f"conf{c}"
+        shutil.copytree(src, out_pad / "baseline_models" / f"conf{c}")
+    res_pad = ens_d.main([
+        "--max_configs", "4", "--num_epochs", "2", "--num_cv", "1",
+        "--end_to_end", "--padded_compile", "--workbook", "Ensemble_pad",
+        *_common(synth_root, out_pad, "cross_validation"),
+    ])
+    assert "1_2_3" in res_pad and "CV 1" in res_pad["1_2_3"]
+    from vit3d_ensemble_tpu.checkpoint import restore_pytree as _rp
+    from vit3d_ensemble_tpu.configs import ViTConfig as _VC
+    from vit3d_ensemble_tpu.train.ensemble_trainer import init_ensemble
+
+    cfgs = [_VC.from_conf(c, img_size=32) for c in (1, 2, 3)]
+    _, target = init_ensemble(cfgs, [], seed=0)
+    import jax as _jax
+
+    ck = _rp(str(out_pad / "cv_ensemble_models" / "ensemble_1_2_3" /
+                 "cv1.msgpack"), _jax.device_get(target))
+    fc1 = ck["transformer_0"]["encoder"]["layers"]["block"]["ffn"]["fc1"][
+        "kernel"]
+    assert fc1.shape == (cfgs[0].num_layers, cfgs[0].hidden_size,
+                         cfgs[0].mlp_dim)      # true shape, not template
+
     # end-to-end ensemble retrain on the fixed split
     m = ensw_d.main([
         "--ensemble_conf_list", "1,2,3", "--num_epochs", "2",

@@ -63,6 +63,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--end_to_end", action="store_true",
                         help="Reference-faithful mode: fine-tune backbones "
                              "per combination (slow).")
+    parser.add_argument("--padded_compile", action="store_true",
+                        help="(--end_to_end) pad members to shape-class "
+                             "templates with runtime masks so every "
+                             "combination of a class-multiset shares one "
+                             "compiled program (<=10 compiles for all 816 "
+                             "combos instead of one per combo); exact "
+                             "math, different dropout stream.")
     parser.add_argument("--random_init_members", action="store_true",
                         help="Use fresh inits for missing baseline ckpts.")
     parser.add_argument("--workbook", default="Ensemble_CV",
@@ -198,16 +205,27 @@ def run_end_to_end(args) -> Dict[str, Dict[str, Dict[str, float]]]:
         loaded = [_load_member(args, c) for c in comb]
         configs = [cfg for cfg, _ in loaded]
         members = [p for _, p in loaded]
+        masks = crop_to = None
+        train_cfgs = configs
+        if getattr(args, "padded_compile", False):
+            from vit3d_ensemble_tpu.train.ensemble_trainer import (
+                pad_members_to_templates,
+            )
+
+            train_cfgs, members, masks = pad_members_to_templates(configs,
+                                                                  members)
+            crop_to = configs
         results[name] = {}
         for cv, (t, v, _) in enumerate(folds):
             save = ensemble_ckpt_path(args.output_dir, "cv_ensemble", name,
                                       f"cv{cv + 1}")
-            res = train_ensemble(configs, members, t, v,
+            res = train_ensemble(train_cfgs, members, t, v,
                                  num_epochs=args.num_epochs,
                                  train_batch_size=args.train_batch_size,
                                  learning_rate=args.learning_rate,
                                  seed=args.seed, save_path=save,
-                                 keep_best_params=False)
+                                 keep_best_params=False,
+                                 member_masks=masks, crop_to=crop_to)
             results[name][f"CV {cv + 1}"] = dict(res.metrics)
             logger.info("ensemble %s cv%d AUROC %.4f", name, cv + 1,
                         res.metrics["AUROC"])

@@ -55,19 +55,32 @@ class MetaHead(nn.Module):
 
 
 class TransformerEnsemble(nn.Module):
-    """End-to-end stacking ensemble over heterogeneous ViT configs."""
+    """End-to-end stacking ensemble over heterogeneous ViT configs.
+
+    `member_masks` (optional, one (num_layers_active, mlp_active) pair per
+    member) enables PADDED members: every config of a (hidden, heads) shape
+    class can run as the class-wide template with runtime depth/width masks
+    (exactness proven in test_sweep), so all C(18,3) combinations of a
+    class-multiset share ONE compiled program instead of one per
+    combination — the difference between ~10 compiles and 816 for the
+    reference-faithful end-to-end sweep.
+    """
 
     configs: Tuple[ViTConfig, ...]
     zero_head: bool = True
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x, *, deterministic: bool = True,
+                 member_masks=None) -> jax.Array:
         member_logits = []
         for i, cfg in enumerate(self.configs):
+            la, ml = (member_masks[i] if member_masks is not None
+                      else (None, None))
             out = VisionTransformer3D(
                 cfg, zero_head=self.zero_head, vis=False,
                 name=f"transformer_{i}",
-            )(x, deterministic=deterministic)
+            )(x, deterministic=deterministic, num_layers_active=la,
+              mlp_active=ml)
             member_logits.append(out.logits)
         concat = jnp.concatenate(member_logits, axis=-1)   # (B, N*C)
         return MetaHead(

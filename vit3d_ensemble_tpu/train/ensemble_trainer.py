@@ -22,6 +22,7 @@ For the 816-combination CV/bootstrap sweeps, see
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -68,65 +69,39 @@ def init_ensemble(configs: Sequence[ViTConfig],
     return model, params
 
 
-def train_ensemble(
-    configs: Sequence[ViTConfig],
-    member_params: Sequence[dict],
-    train_split: SplitArrays,
-    val_split: SplitArrays,
-    *,
-    num_epochs: int = 100,
-    train_batch_size: int = 4,
-    learning_rate: float = 1e-4,
-    seed: int = 42,
-    save_path: Optional[str] = None,
-    keep_best_params: bool = True,
-    tracker: Optional[BestTracker] = None,
-) -> EnsembleResult:
-    """One ensemble, one split — the reference epoch loop, jit-compiled.
+@functools.lru_cache(maxsize=16)
+def _ensemble_run_fn(configs, learning_rate: float, use_masks: bool):
+    """The jitted whole-run training program for one (config tuple, lr)
+    pair: scan(epochs){ scan(steps){adam step}; eval; select } — the
+    reference's loop host-dispatches every batch
+    (`train_ensemble_cv.py:131-196`), ruinous over a remote-device link.
 
-    `tracker` may be passed in to reproduce the reference's cross-fold /
-    cross-combination best_choice carry-over (defect D9/D19 territory); by
-    default a fresh tracker per call (the intended semantics).
+    Everything run-specific (data, batch schedule, rng, member masks) is an
+    ARGUMENT, and the builder is cached, so one traced + compiled program
+    serves every combination/fold that shares template configs and shapes.
     """
     import optax
 
     from vit3d_ensemble_tpu.metrics.jax_metrics import compute_eval_metrics
-    from vit3d_ensemble_tpu.sweep.engine import METRIC_KEYS, _metrics_vector
+    from vit3d_ensemble_tpu.sweep.engine import _metrics_vector
     from vit3d_ensemble_tpu.train.selection import (
         device_best_init,
         device_consider,
         device_take_if,
     )
 
-    model, params = init_ensemble(configs, member_params, seed)
+    model = TransformerEnsemble(configs)
     tx = adam(learning_rate)
 
-    vols = jnp.asarray(train_split.volumes)
-    labels = jnp.asarray(train_split.labels.astype(np.float32))
-    val_vols = jnp.asarray(val_split.volumes)
-    val_labels_np = val_split.labels
-    val_labels = jnp.asarray(val_labels_np.astype(np.float32))
-
-    # precompute the whole run's batch schedule: (E, S, B) + masks, epoch
-    # reshuffles matching the reference's per-epoch RandomSampler.
-    batcher = EpochBatcher(len(train_split), train_batch_size, seed=seed)
-    S = batcher.steps_per_epoch
-    B = train_batch_size
-    idx_all = np.zeros((num_epochs, S, B), np.int32)
-    msk_all = np.zeros((num_epochs, S, B), np.float32)
-    for e in range(num_epochs):
-        for s, (idx, mask) in enumerate(batcher.epoch()):
-            idx_all[e, s] = idx
-            msk_all[e, s] = mask
-
-    # one compiled program: scan(epochs){ scan(steps){adam step}; eval;
-    # select } — the reference's loop host-dispatches every batch
-    # (`train_ensemble_cv.py:131-196`), ruinous over a remote-device link.
     @jax.jit
-    def run(params, idx_all, msk_all, rng):
+    def run(params, vols, labels, val_vols, val_labels, idx_all, msk_all,
+            rng, masks):
+        mm = masks if use_masks else None
+
         def loss_fn(p, bv, bl, bm, drop_rng):
             probs = model.apply({"params": p}, bv, deterministic=False,
-                                rngs={"dropout": drop_rng}).reshape(-1)
+                                rngs={"dropout": drop_rng},
+                                member_masks=mm).reshape(-1)
             pc = jnp.clip(probs, 1e-12, 1 - 1e-12)
             per = -(bl * jnp.log(pc) + (1 - bl) * jnp.log(1 - pc))
             return jnp.sum(per * bm) / jnp.maximum(jnp.sum(bm), 1.0)
@@ -142,7 +117,8 @@ def train_ensemble(
 
         def evaluate(p):
             probs = model.apply({"params": p}, val_vols,
-                                deterministic=True).reshape(-1)
+                                deterministic=True,
+                                member_masks=mm).reshape(-1)
             return _metrics_vector(
                 compute_eval_metrics(probs, val_labels)), probs
 
@@ -163,13 +139,139 @@ def train_ensemble(
         best = device_take_if(best, mvec, probs, inner[0], ~best["found"])
         return best
 
-    best = run(params, jnp.asarray(idx_all), jnp.asarray(msk_all),
-               jax.random.key(seed))
+    return run
+
+
+def pad_members_to_templates(configs: Sequence[ViTConfig],
+                             member_params: Sequence[dict],
+                             max_mlp: Optional[int] = None,
+                             max_layers: Optional[int] = None):
+    """Pad each member to its (hidden, heads) class-wide template with
+    runtime depth/width masks — every combination of a class-multiset then
+    shares ONE compiled training program (10 templates cover all C(18,3)
+    combinations, vs one compile per combination with exact shapes).
+
+    Returns (template_configs, padded_params, member_masks).  Zero padding
+    + masks is EXACT for forward and gradients (test_sweep), and padded
+    regions stay exactly zero under any optax optimizer (zero grads).
+    The one behavioral difference: dropout draws over the padded FFN width
+    consume a different random stream than the exact-shape model — the
+    same (documented) property the vmapped baseline sweep already has.
+    """
+    from vit3d_ensemble_tpu.configs import BASELINE_CONFS, parameters_config
+    from vit3d_ensemble_tpu.sweep.stack import _pad_to
+
+    if max_mlp is None:
+        max_mlp = max(parameters_config(c)[1] for c in BASELINE_CONFS)
+    if max_layers is None:
+        max_layers = max(parameters_config(c)[2] for c in BASELINE_CONFS)
+    t_cfgs, padded, masks = [], [], []
+    for cfg, p in zip(configs, member_params):
+        tcfg = dataclasses.replace(cfg, mlp_dim=max(cfg.mlp_dim, max_mlp),
+                                   num_layers=max(cfg.num_layers,
+                                                  max_layers))
+        from vit3d_ensemble_tpu.models import VisionTransformer3D
+
+        tmodel = VisionTransformer3D(tcfg, zero_head=True, vis=False)
+        dummy = jnp.zeros((1, cfg.img_size, cfg.img_size, cfg.z_size,
+                           cfg.in_channels))
+        tshapes = jax.eval_shape(
+            lambda m=tmodel, d=dummy:
+            m.init({"params": jax.random.key(0)}, d)["params"])
+
+        @jax.jit
+        def pad_tree(tree, ts=tshapes):
+            return jax.tree.map(lambda a, t: _pad_to(a, t.shape), tree, ts)
+
+        padded.append(pad_tree(jax.tree.map(jnp.asarray, p)))
+        t_cfgs.append(tcfg)
+        masks.append((cfg.num_layers, cfg.mlp_dim))
+    return t_cfgs, padded, tuple(masks)
+
+
+def crop_ensemble_params(params: dict, true_configs: Sequence[ViTConfig]):
+    """Crop a padded ensemble param tree (host-side numpy) back to the
+    members' true shapes, so checkpoints keep the exact-config layout."""
+    from vit3d_ensemble_tpu.models import VisionTransformer3D
+
+    out = {"meta": params["meta"]}
+    for i, cfg in enumerate(true_configs):
+        model = VisionTransformer3D(cfg, zero_head=True, vis=False)
+        dummy = jnp.zeros((1, cfg.img_size, cfg.img_size, cfg.z_size,
+                           cfg.in_channels))
+        tshapes = jax.eval_shape(
+            lambda m=model, d=dummy:
+            m.init({"params": jax.random.key(0)}, d)["params"])
+        out[f"transformer_{i}"] = jax.tree.map(
+            lambda a, t: np.asarray(a)[tuple(slice(0, s) for s in t.shape)],
+            params[f"transformer_{i}"], tshapes)
+    return out
+
+
+def train_ensemble(
+    configs: Sequence[ViTConfig],
+    member_params: Sequence[dict],
+    train_split: SplitArrays,
+    val_split: SplitArrays,
+    *,
+    num_epochs: int = 100,
+    train_batch_size: int = 4,
+    learning_rate: float = 1e-4,
+    seed: int = 42,
+    save_path: Optional[str] = None,
+    keep_best_params: bool = True,
+    tracker: Optional[BestTracker] = None,
+    member_masks=None,
+    crop_to: Optional[Sequence[ViTConfig]] = None,
+) -> EnsembleResult:
+    """One ensemble, one split — the reference epoch loop, jit-compiled.
+
+    `tracker` may be passed in to reproduce the reference's cross-fold /
+    cross-combination best_choice carry-over (defect D9/D19 territory); by
+    default a fresh tracker per call (the intended semantics).
+
+    `member_masks` (from `pad_members_to_templates`) runs padded members
+    with runtime masks; data, schedules, and masks are all jit ARGUMENTS,
+    so one compiled program serves every combination/fold that shares the
+    template configs and array shapes.  `crop_to` restores the true-config
+    checkpoint layout for the returned/saved best params.
+    """
+    from vit3d_ensemble_tpu.sweep.engine import METRIC_KEYS
+
+    _, params = init_ensemble(configs, member_params, seed)
+    use_masks = member_masks is not None
+    masks_arg = (tuple((jnp.int32(la), jnp.int32(ml))
+                       for la, ml in member_masks) if use_masks else ())
+
+    vols = jnp.asarray(train_split.volumes)
+    labels = jnp.asarray(train_split.labels.astype(np.float32))
+    val_vols = jnp.asarray(val_split.volumes)
+    val_labels_np = val_split.labels
+    val_labels = jnp.asarray(val_labels_np.astype(np.float32))
+
+    # precompute the whole run's batch schedule: (E, S, B) + masks, epoch
+    # reshuffles matching the reference's per-epoch RandomSampler.
+    batcher = EpochBatcher(len(train_split), train_batch_size, seed=seed)
+    S = batcher.steps_per_epoch
+    B = train_batch_size
+    idx_all = np.zeros((num_epochs, S, B), np.int32)
+    msk_all = np.zeros((num_epochs, S, B), np.float32)
+    for e in range(num_epochs):
+        for s, (idx, mask) in enumerate(batcher.epoch()):
+            idx_all[e, s] = idx
+            msk_all[e, s] = mask
+
+    run = _ensemble_run_fn(tuple(configs), float(learning_rate), use_masks)
+    best = run(params, vols, labels, val_vols, val_labels,
+               jnp.asarray(idx_all), jnp.asarray(msk_all),
+               jax.random.key(seed), masks_arg)
     mvec = np.asarray(best["metrics"])
     cp = np.asarray(best["probs"])
     pl = (cp > 0.5).astype(np.int32)
     metrics = {k: float(v) for k, v in zip(METRIC_KEYS, mvec)}
     best_params = jax.device_get(best["payload"])
+    if crop_to is not None:
+        best_params = crop_ensemble_params(best_params, crop_to)
     if save_path is not None:
         save_pytree(save_path, best_params)
 
