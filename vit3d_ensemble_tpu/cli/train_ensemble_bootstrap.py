@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--combinations", type=int, default=3)
     parser.add_argument("--learning_rate", type=float, default=1e-4)
     parser.add_argument("--end_to_end", action="store_true")
+    parser.add_argument("--padded_compile", action="store_true",
+                        help="(--end_to_end) pad members to shape-class "
+                             "templates so combinations share compiled "
+                             "programs (see train_ensemble_cv).")
     parser.add_argument("--random_init_members", action="store_true")
     parser.add_argument("--workbook", default="Ensemble_Bootstrap")
     parser.add_argument("--output_path", default=None)
@@ -191,17 +195,28 @@ def run_end_to_end(args):
         loaded = [_load_member(args, c) for c in comb]
         configs = [cfg for cfg, _ in loaded]
         members = [p for _, p in loaded]
+        masks = crop_to = None
+        train_cfgs = configs
+        if getattr(args, "padded_compile", False):
+            from vit3d_ensemble_tpu.train.ensemble_trainer import (
+                pad_members_to_templates,
+            )
+
+            train_cfgs, members, masks = pad_members_to_templates(configs,
+                                                                  members)
+            crop_to = configs
         val_results[name], test_results[name] = {}, {}
         for rep in range(args.num_rep):
             train, val, test = _splits_for_rep(args, rep)
             save = ensemble_ckpt_path(args.output_dir, "bootstrap_ensemble",
                                       name, f"bootstrap_{rep}")
-            res = train_ensemble(configs, members, train, val,
+            res = train_ensemble(train_cfgs, members, train, val,
                                  num_epochs=args.num_epochs,
                                  train_batch_size=args.train_batch_size,
                                  learning_rate=args.learning_rate,
                                  seed=args.seed, save_path=save,
-                                 keep_best_params=True)
+                                 keep_best_params=True,
+                                 member_masks=masks, crop_to=crop_to)
             val_results[name][f"boot{rep}"] = dict(res.metrics)
             # held-out test with the best params (testing_model flow,
             # train_ensemble_bootstrap.py:224-254)
