@@ -114,6 +114,7 @@ def test_cli_ensemble_pipeline(synth_root, tmp_path):
 
     # frozen 816-style sweep restricted to C(3,3)=1 combination
     res = ens_d.main([
+        "--frozen",
         "--max_configs", "4", "--num_epochs", "2", "--num_cv", "2",
         *_common(synth_root, out, "cross_validation"),
     ])
@@ -228,6 +229,7 @@ def test_cli_ensemble_bootstrap(synth_root, tmp_path):
             *_common(synth_root, out, "fixed_split"),
         ])
     val_res, test_res = d.main([
+        "--frozen",
         "--max_configs", "4", "--num_rep", "2", "--num_epochs", "2",
         *_common(synth_root, out, "fixed_split"),
     ])

@@ -7,9 +7,13 @@ fixed validation split), then evaluate the best checkpoint on the held-out
 test split; report per-replicate test metrics and mean(std) validation
 metrics to a workbook.
 
-Default mode is frozen-backbone (vmapped meta-heads over cached member
+Default mode is the reference-faithful end-to-end path (backbones
+fine-tuned; --padded_compile shares programs across combinations).
+--frozen is the fast screening mode (vmapped meta-heads over cached member
 logits, recomputed per replicate because each replicate's normalization
-mean shifts the inputs); --end_to_end is the reference-faithful path.
+mean shifts the inputs) — its combination RANKINGS do not track the
+faithful mode's (measured, docs/RESULTS.md), so use it for throughput
+screening rather than model selection.
 
 NOTE: the reference's --csv_path default points at the cross_validation
 folder which lacks training.csv (the script cannot run as shipped); ours
@@ -48,9 +52,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--max_configs", type=int, default=19)
     parser.add_argument("--combinations", type=int, default=3)
     parser.add_argument("--learning_rate", type=float, default=1e-4)
-    parser.add_argument("--end_to_end", action="store_true")
-    parser.add_argument("--padded_compile", action="store_true",
-                        help="(--end_to_end) pad members to shape-class "
+    parser.add_argument("--frozen", action="store_true",
+                        help="Fast screening mode (meta-heads on cached "
+                             "logits); rankings do not track end-to-end "
+                             "(docs/RESULTS.md).")
+    parser.add_argument("--end_to_end", action="store_true",
+                        help="(default) reference-faithful mode.")
+    parser.add_argument("--padded_compile",
+                        action=argparse.BooleanOptionalAction, default=True,
+                        help="(end-to-end) pad members to shape-class "
                              "templates so combinations share compiled "
                              "programs (see train_ensemble_cv).")
     parser.add_argument("--random_init_members", action="store_true")
@@ -236,10 +246,12 @@ def main(argv=None):
     apply_runtime_flags(args)
     if args.output_path:
         args.output_dir = args.output_path
-    if args.end_to_end:
-        val_results, test_results = run_end_to_end(args)
-    else:
+    if args.frozen and args.end_to_end:
+        raise SystemExit("--frozen and --end_to_end are mutually exclusive")
+    if args.frozen:
         val_results, test_results = run_frozen(args)
+    else:
+        val_results, test_results = run_end_to_end(args)
     base = os.path.join(args.output_dir, args.workbook)
     write_sweep_report(base, val_results)
     write_sweep_report(base + "_test", test_results)

@@ -2,14 +2,19 @@
 `train_ensemble_cv.py` (reference).
 
 Two modes:
-  * default (TPU-native, the BASELINE.json north star): the 18 baselines'
-    logits are computed ONCE per fold in a grouped batched forward, then
-    every (combination, fold) meta-head trains as one vmapped program
-    (`sweep/ensemble_sweep.py`) — seconds instead of the reference's
-    816 x 5 sequential 100-epoch ensemble retrains.
-  * --end_to_end: the reference-faithful mode — full backbones fine-tuned
-    per combination x fold via `train/ensemble_trainer.py` (slow; use
-    --max_configs to restrict the grid).
+  * default (reference-faithful): full backbones fine-tuned per
+    combination x fold via `train/ensemble_trainer.py`
+    (`train_ensemble_cv.py:82-83` — the reference does NOT freeze
+    backbones).  With --padded_compile (on by default) all combinations
+    of a shape-class multiset share one compiled program.
+  * --frozen (TPU-native fast screening): the 18 baselines' logits are
+    computed ONCE per fold in a grouped batched forward, then every
+    (combination, fold) meta-head trains as one vmapped program
+    (`sweep/ensemble_sweep.py`) — seconds instead of hours.  NOTE
+    (measured, docs/RESULTS.md): frozen-mode combination rankings do NOT
+    track end-to-end rankings on the real dataset (Spearman rho ~ 0 over
+    20 combos x 5 folds), which is why the faithful mode is the default —
+    use --frozen for throughput screening, not for model selection.
 
 Output: workbook + CSV with 'mean (std)' cells per metric over folds
 (`train_ensemble_cv.py:36-49,221-230`).  The reference names its CV
@@ -60,16 +65,28 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--combinations", type=int, default=3,
                         help="Baselines per ensemble.")
     parser.add_argument("--learning_rate", type=float, default=1e-4)
+    parser.add_argument("--frozen", action="store_true",
+                        help="Fast screening mode: train only meta-heads "
+                             "on cached member logits (seconds for all 816 "
+                             "combos).  WARNING: measured combination "
+                             "rankings do NOT track the faithful "
+                             "end-to-end mode's (Spearman rho ~ 0, "
+                             "docs/RESULTS.md).")
     parser.add_argument("--end_to_end", action="store_true",
-                        help="Reference-faithful mode: fine-tune backbones "
-                             "per combination (slow).")
-    parser.add_argument("--padded_compile", action="store_true",
-                        help="(--end_to_end) pad members to shape-class "
+                        help="(default) reference-faithful mode: fine-tune "
+                             "backbones per combination "
+                             "(train_ensemble_cv.py:82-83).  Kept as an "
+                             "explicit flag for compatibility.")
+    parser.add_argument("--padded_compile",
+                        action=argparse.BooleanOptionalAction, default=True,
+                        help="(end-to-end) pad members to shape-class "
                              "templates with runtime masks so every "
                              "combination of a class-multiset shares one "
                              "compiled program (<=10 compiles for all 816 "
                              "combos instead of one per combo); exact "
-                             "math, different dropout stream.")
+                             "math, different dropout stream.  "
+                             "--no-padded_compile restores per-combination "
+                             "exact-shape compiles.")
     parser.add_argument("--random_init_members", action="store_true",
                         help="Use fresh inits for missing baseline ckpts.")
     parser.add_argument("--workbook", default="Ensemble_CV",
@@ -181,7 +198,9 @@ def run_end_to_end(args) -> Dict[str, Dict[str, Dict[str, float]]]:
     os.makedirs(state_dir, exist_ok=True)
     fingerprint = (f"{args.num_cv}cv_{args.num_epochs}ep_"
                    f"{args.train_batch_size}b_{args.learning_rate}lr_"
-                   f"{args.seed}s")
+                   f"{args.seed}s"
+                   + ("_pad" if getattr(args, "padded_compile", False)
+                      else ""))
 
     results: Dict[str, Dict[str, Dict[str, float]]] = {}
     combos = list(it_combinations(range(1, args.max_configs),
@@ -242,7 +261,9 @@ def main(argv=None):
     apply_runtime_flags(args)
     if args.output_path:
         args.output_dir = args.output_path
-    results = run_end_to_end(args) if args.end_to_end else run_frozen(args)
+    if args.frozen and args.end_to_end:
+        raise SystemExit("--frozen and --end_to_end are mutually exclusive")
+    results = run_frozen(args) if args.frozen else run_end_to_end(args)
     report = os.path.join(args.output_dir, args.workbook)
     write_sweep_report(report, results)
     logger.info("report written to %s.xlsx / .csv", report)
