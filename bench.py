@@ -43,7 +43,9 @@ def main() -> None:
     # the model's dominant HBM traffic and VPU time — never leaves the chip.
     set_default_mlp_impl("pallas")
 
-    B = 128          # volumes per step; all 18 models see every volume
+    B = 512          # volumes per step; all 18 models see every volume.
+    #                  Measured sweep at exact shapes: 128 -> 5390,
+    #                  256 -> 5974, 512 -> 6434, 1024 -> 5759 vol/s.
     rng = np.random.default_rng(0)
     # bfloat16 inference: ~2x the f32 path on v5e (matmuls and HBM traffic
     # both halve); training and parity tests remain f32.
