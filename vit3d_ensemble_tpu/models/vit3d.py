@@ -91,6 +91,25 @@ class ViTOutput:
     tokens: jax.Array                    # (B, T, D) post final LayerNorm
 
 
+class _ProjParams(nn.Module):
+    """QKV projection parameters in the DenseGeneral (D, H, hd)/(H, hd)
+    layout, addressable without applying — the three projections fuse into
+    ONE (D, 3D) matmul at apply time (bit-exact: each output element's dot
+    product is unchanged), which matters at D ≤ 64 where the MXU charges a
+    full N-tile per matmul regardless of width."""
+
+    features: tuple
+    in_features: int
+    kernel_init: object
+    bias_init: object
+
+    def setup(self):
+        self.kernel = self.param("kernel", self.kernel_init,
+                                 (self.in_features,) + tuple(self.features))
+        self.bias = self.param("bias", self.bias_init,
+                               tuple(self.features))
+
+
 class Attention(nn.Module):
     """Multi-head self-attention (`modeling.py:55-99`)."""
 
@@ -101,17 +120,19 @@ class Attention(nn.Module):
         cfg = self.config
         D, H = cfg.hidden_size, cfg.num_heads
         head_dim = D // H
-        dense = lambda name: nn.DenseGeneral(  # noqa: E731
-            features=(H, head_dim),
-            axis=-1,
-            kernel_init=torch_linear_kernel_init,
-            bias_init=torch_linear_bias_init(D),
-            name=name,
-        )
-        # (B, T, D) -> (B, T, H, hd) -> (B, H, T, hd)
-        q = dense("query")(x).transpose(0, 2, 1, 3)
-        k = dense("key")(x).transpose(0, 2, 1, 3)
-        v = dense("value")(x).transpose(0, 2, 1, 3)
+        proj = lambda name: _ProjParams(  # noqa: E731
+            (H, head_dim), D, torch_linear_kernel_init,
+            torch_linear_bias_init(D), name=name)
+        q_p, k_p, v_p = proj("query"), proj("key"), proj("value")
+        qkv_kernel = jnp.concatenate(
+            [p.kernel.reshape(D, D) for p in (q_p, k_p, v_p)], axis=1)
+        qkv_bias = jnp.concatenate(
+            [p.bias.reshape(D) for p in (q_p, k_p, v_p)])
+        qkv = x @ qkv_kernel + qkv_bias                      # (B, T, 3D)
+        B, T = x.shape[0], x.shape[1]
+        # (B, T, 3, H, hd) -> (3, B, H, T, hd)
+        qkv = qkv.reshape(B, T, 3, H, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
 
         drop_rate = cfg.attention_dropout_rate
         rng = None
