@@ -68,11 +68,15 @@ def run_variant(name, x, B, iters, reps=3):
                       "volumes_per_sec": round(B * iters / best, 1)}))
 
 
-def main():
+def main(argv=None):
+    import sys
+
     from vit3d_ensemble_tpu.cli._common import setup_jax_cache
     from vit3d_ensemble_tpu.ops import attention as attn_mod
     from vit3d_ensemble_tpu.ops import pallas_mlp
     from vit3d_ensemble_tpu.ops.mlp import set_default_mlp_impl
+
+    which = (argv if argv is not None else sys.argv[1:]) or ["baseline"]
 
     setup_jax_cache()
     set_default_mlp_impl("pallas")
@@ -81,16 +85,66 @@ def main():
     x = jnp.asarray(rng.normal(size=(B, 128, 128, 5, 1))
                     .astype(np.float32)).astype(jnp.bfloat16)
 
-    run_variant("baseline (tile 512, attn xla)", x, B, iters)
-
-    attn_mod.set_default_attention_impl("pallas")
-    run_variant("attn pallas", x, B, iters)
-    attn_mod.set_default_attention_impl("xla")
-
+    if "baseline" in which:
+        run_variant("baseline (tile 512, attn xla)", x, B, iters)
+    if "attn_vpu" in which:
+        attn_mod.set_default_attention_impl("vpu")
+        run_variant("attn vpu (mul-reduce)", x, B, iters)
+        attn_mod.set_default_attention_impl("xla")
+    if "attn_pallas" in which:
+        attn_mod.set_default_attention_impl("pallas")
+        run_variant("attn pallas", x, B, iters)
+        attn_mod.set_default_attention_impl("xla")
     for tile in (256, 1024):
-        pallas_mlp.TILE_N = tile
-        run_variant(f"mlp tile {tile}", x, B, iters)
-    pallas_mlp.TILE_N = 512
+        if f"tile{tile}" in which:
+            pallas_mlp.TILE_N = tile
+            run_variant(f"mlp tile {tile}", x, B, iters)
+            pallas_mlp.TILE_N = 512
+    if "per_config" in which:
+        # time each of the 18 exact-shape programs separately: which
+        # (hidden, heads) class eats the residual above the matmul+GELU
+        # floor?  (fetch per program: adds one host RTT each, fine for
+        # relative comparison)
+        fwds = build_fwds(B, iters)
+        for conf, (fwd_n, params) in enumerate(fwds, start=1):
+            float(fwd_n(params, x))
+            t0 = time.perf_counter()
+            float(fwd_n(params, x))
+            dt = time.perf_counter() - t0
+            print(json.dumps({"conf": conf, "ms": round(dt * 1e3, 1)}))
+    if "ablate_attn" in which:
+        # attention -> identity(q): scores/softmax/context drop out (the
+        # QKV matmul, relayouts, and out-proj remain).  vit3d.py binds the
+        # name at import, so patch it there.
+        from vit3d_ensemble_tpu.models import vit3d as vit3d_mod
+
+        orig = vit3d_mod.dot_product_attention
+
+        def ident(q, k, v, **kw):
+            return q, None
+
+        vit3d_mod.dot_product_attention = ident
+        try:
+            run_variant("attention=identity", x, B, iters)
+        finally:
+            vit3d_mod.dot_product_attention = orig
+    if "ablate_gelu" in which:
+        orig = pallas_mlp._poly_gelu
+        pallas_mlp._poly_gelu = lambda h: h
+        try:
+            run_variant("gelu=identity", x, B, iters)
+        finally:
+            pallas_mlp._poly_gelu = orig
+    if "ablate_ln" in which:
+        # LayerNorm -> identity (keeps params; skips stats + affine)
+        import flax.linen as nn
+
+        orig = nn.LayerNorm.__call__
+        nn.LayerNorm.__call__ = lambda self, x: x
+        try:
+            run_variant("layernorm=identity", x, B, iters)
+        finally:
+            nn.LayerNorm.__call__ = orig
 
 
 if __name__ == "__main__":

@@ -56,6 +56,58 @@ def test_fused_attention_gradients_match(rng):
                                    atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("shape", [
+    (2, 4, 65, 16),     # conf-1 regime (B, H, S, hd)
+    (3, 8, 65, 4),      # (32, 8) shape class
+    (1, 16, 65, 1),     # (16, 16) — head_dim 1
+])
+def test_vpu_attention_matches_einsum(shape, rng):
+    """The broadcast-multiply-reduce (VPU) formulation is the same math as
+    the einsum path — identical contraction, different execution unit."""
+    q = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    ref, pref = dot_product_attention(q, k, v, impl="xla",
+                                      return_probs=True)
+    out, pout = dot_product_attention(q, k, v, impl="vpu",
+                                      return_probs=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pout), np.asarray(pref),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_vpu_attention_gradients_match(rng):
+    shape = (2, 4, 9, 8)
+    q = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+    def loss(impl):
+        def f(q, k, v):
+            out, _ = dot_product_attention(q, k, v, impl=impl)
+            return jnp.sum(out ** 2)
+        return f
+
+    g_vpu = jax.grad(loss("vpu"), argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss("xla"), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_vpu, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_vpu_attention_dropout_matches_einsum(rng):
+    """Same dropout mask stream -> identical dropped probs on both paths."""
+    shape = (2, 4, 9, 8)
+    q = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    key = jax.random.key(7)
+    outs = [dot_product_attention(q, q, q, impl=i, dropout_rng=key,
+                                  dropout_rate=0.25, deterministic=False)[0]
+            for i in ("xla", "vpu")]
+    np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(outs[1]),
+                               atol=2e-6, rtol=1e-5)
+
+
 def test_dispatch_impl_flag(rng):
     from vit3d_ensemble_tpu.ops import attention as att
 
@@ -63,6 +115,10 @@ def test_dispatch_impl_flag(rng):
     ctx_xla, probs = att.dot_product_attention(q, q, q, impl="xla",
                                                return_probs=True)
     assert probs is not None and probs.shape == (1, 2, 5, 5)
-    att.set_default_attention_impl("xla")
+    # 'auto' routes tiny heads to the vpu formulation — same results
+    ctx_auto, _ = att.dot_product_attention(q, q, q, impl="auto")
+    np.testing.assert_allclose(np.asarray(ctx_auto), np.asarray(ctx_xla),
+                               atol=2e-6, rtol=1e-5)
+    att.set_default_attention_impl("auto")
     with pytest.raises(ValueError):
         att.set_default_attention_impl("bogus")

@@ -70,10 +70,15 @@ def add_common_flags(parser: argparse.ArgumentParser,
                         default="disk",
                         help="Augmentation source: precomputed folders "
                              "(reference parity) or on-device transforms.")
-    parser.add_argument("--attention_impl", choices=["xla", "pallas"],
-                        default="xla",
-                        help="Attention kernel: XLA einsum path or the "
-                             "fused Pallas kernel (ops/pallas_attention).")
+    parser.add_argument("--attention_impl",
+                        choices=["auto", "xla", "vpu", "pallas"],
+                        default="auto",
+                        help="Attention path: 'auto'/'xla' = the einsum "
+                             "path (measured fastest end-to-end at the "
+                             "65-token regime); 'vpu' = broadcast-"
+                             "multiply-reduce contractions (experiments); "
+                             "'pallas' = the fused VMEM kernel, which "
+                             "wins 1.9x at the 513-token stretch regime.")
     parser.add_argument("--mlp_impl", choices=["xla", "pallas"],
                         default="xla",
                         help="FFN path: XLA matmuls or the fused Pallas "
@@ -106,7 +111,7 @@ def apply_runtime_flags(args) -> None:
     from vit3d_ensemble_tpu.ops.attention import set_default_attention_impl
     from vit3d_ensemble_tpu.ops.mlp import set_default_mlp_impl
 
-    set_default_attention_impl(getattr(args, "attention_impl", "xla"))
+    set_default_attention_impl(getattr(args, "attention_impl", "auto"))
     set_default_mlp_impl(getattr(args, "mlp_impl", "xla"))
     if getattr(args, "debug_nans", False):
         from vit3d_ensemble_tpu.utils.debug import enable_nan_checking

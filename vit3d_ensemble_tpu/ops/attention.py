@@ -37,28 +37,54 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-_DEFAULT_IMPL = "xla"
+_DEFAULT_IMPL = "auto"
+
+#: head_dim bound below which the 'vpu' impl (broadcast-multiply-reduce
+#: contractions) is shape-appropriate.  NOTE: measured end-to-end it does
+#: NOT beat the einsum path (7279 vs 7913 vol/s on the 18-model bench —
+#: the cost is the materialized (B, H, 65, 65) scores traffic, identical
+#: under both formulations; docs/RESULTS.md "The attention 24%"), so
+#: 'auto' does not select it; it remains available for experiments.
+_VPU_MAX_HEAD_DIM = 16
 
 
 def set_default_attention_impl(impl: str) -> None:
     """Select the process-wide default attention implementation."""
     global _DEFAULT_IMPL
-    if impl not in ("xla", "pallas"):
+    if impl not in ("auto", "xla", "vpu", "pallas"):
         raise ValueError(f"unknown attention impl: {impl!r}")
     _DEFAULT_IMPL = impl
 
 
-def _xla_attention(q, k, v, dropout_rng, dropout_rate, deterministic):
-    """Reference einsum path. q,k,v: (..., heads, seq, head_dim)."""
+def _xla_attention(q, k, v, dropout_rng, dropout_rate, deterministic,
+                   vpu_dots=False):
+    """Reference einsum path. q,k,v: (..., heads, seq, head_dim).
+
+    With ``vpu_dots`` the two contractions lower as broadcast-multiply +
+    reduce (VPU) rather than dot_general (MXU): exact same math, same
+    accumulation dtype, different unit.  At head_dim <= 16 and 65 tokens
+    the MXU charges a full 128x128x128 pass per (batch, head) block dot,
+    so the VPU form wins by an order of magnitude (see module docstring).
+    """
     head_dim = q.shape[-1]
-    scores = jnp.einsum("...hqd,...hkd->...hqk", q, k)
+    if vpu_dots:
+        # (..., h, q, 1, d) * (..., h, 1, k, d) -> reduce d: XLA fuses the
+        # multiply into the reduction without materializing the 5-D array.
+        scores = jnp.sum(q[..., :, None, :] * k[..., None, :, :], axis=-1)
+    else:
+        scores = jnp.einsum("...hqd,...hkd->...hqk", q, k)
     scores = scores / math.sqrt(head_dim)
     probs = jax.nn.softmax(scores, axis=-1)
     dropped = probs
     if dropout_rate > 0.0 and not deterministic:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
         dropped = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
-    context = jnp.einsum("...hqk,...hkd->...hqd", dropped, v)
+    if vpu_dots:
+        # (..., h, q, k, 1) * (..., h, 1, k, d) -> reduce k
+        context = jnp.sum(dropped[..., :, :, None] * v[..., None, :, :],
+                          axis=-2)
+    else:
+        context = jnp.einsum("...hqk,...hkd->...hqd", dropped, v)
     return context, probs
 
 
@@ -86,6 +112,16 @@ def dot_product_attention(
       probs (..., num_heads, seq, seq) or None.
     """
     impl = impl or _DEFAULT_IMPL
+    if impl == "auto":
+        # Measured (v5e, B=512, bf16, 18-model bench, 2026-08-16): at the
+        # 65-token tiny-head regime the XLA einsum path beats every
+        # alternative END TO END — vpu mul-reduce 7279, MXU-batched Pallas
+        # 1940, VPU-formulation Pallas 2982, vs 7913 vol/s for xla — so
+        # 'auto' is the einsum path at every head_dim; the fused kernel
+        # remains an explicit opt-in for the 513-token stretch regime
+        # where it wins 1.9x (see ops/pallas_attention.py and
+        # docs/RESULTS.md).
+        impl = "xla"
     if impl == "pallas" and (dropout_rate == 0.0 or deterministic):
         from vit3d_ensemble_tpu.ops.pallas_attention import fused_attention
 
@@ -99,6 +135,7 @@ def dot_product_attention(
         return context, probs
 
     context, probs = _xla_attention(
-        q, k, v, dropout_rng, dropout_rate, deterministic
+        q, k, v, dropout_rng, dropout_rate, deterministic,
+        vpu_dots=(impl == "vpu")
     )
     return context, (probs if return_probs else None)

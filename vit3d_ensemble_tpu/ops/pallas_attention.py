@@ -37,6 +37,82 @@ from jax.experimental.pallas import tpu as pltpu
 BH_BLOCK = 16
 #: minimum head_dim lanes fed to the kernel (zero-padded below this).
 MIN_HD = 8
+#: head_dim at or below which the VPU-formulation kernel dispatches.
+TINY_HD = 16
+#: batch-heads per program instance for the tiny kernel (~2.5 MB VMEM).
+TINY_BH_BLOCK = 32
+
+
+def _tiny_attention_kernel(q_ref, kT_ref, vT_ref, o_ref, *, scale: float,
+                           hd: int):
+    """VPU formulation for head_dim <= 16: no MXU dots at all.
+
+    At hd 1-16 a batched (S, hd)x(hd, S) MXU dot wastes >99% of its 128^3
+    pass, and via XLA the (BH, S, S) scores/probs round-trip HBM with the
+    65-token minor dim padded to 128 lanes.  Here scores build as hd
+    broadcast-FMA passes in the natural orientation (i on sublanes from
+    q's (S, 1) lane slices, j on lanes from kT's (1, S) sublane slices),
+    softmax runs in VMEM, and context comes back as hd masked lane
+    reductions — everything stays on the VPU in VMEM.
+
+    Refs: q (blk, S, hd);  kT, vT, o (blk, hd, S) — o holds context^T.
+    """
+    q = q_ref[...]
+    kT = kT_ref[...]
+    vT = vT_ref[...]
+    scores = q[:, :, 0:1].astype(jnp.float32) * kT[:, 0:1, :].astype(
+        jnp.float32)
+    for d in range(1, hd):
+        scores += q[:, :, d:d + 1].astype(jnp.float32) * kT[
+            :, d:d + 1, :].astype(jnp.float32)
+    scores *= scale                                      # (blk, S, S)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    for d in range(hd):
+        ctx_d = jnp.sum(p * vT[:, d:d + 1, :].astype(jnp.float32),
+                        axis=-1)                         # (blk, S_i)
+        o_ref[:, d, :] = ctx_d.astype(o_ref.dtype)
+
+
+def _tiny_attention_impl(q: jax.Array, k: jax.Array,
+                         v: jax.Array) -> jax.Array:
+    """q, k, v: (..., H, S, hd) -> context (..., H, S, hd), hd <= 16."""
+    orig_shape = q.shape
+    *lead, S, hd = q.shape
+    scale = 1.0 / math.sqrt(hd)
+    bh = 1
+    for d in lead:
+        bh *= d
+    q2 = q.reshape(bh, S, hd)
+    kT = k.reshape(bh, S, hd).transpose(0, 2, 1)
+    vT = v.reshape(bh, S, hd).transpose(0, 2, 1)
+
+    blk = min(TINY_BH_BLOCK, bh)
+    bh_pad = -(-bh // blk) * blk
+    if bh_pad != bh:
+        q2 = jnp.pad(q2, [(0, bh_pad - bh), (0, 0), (0, 0)])
+        kT = jnp.pad(kT, [(0, bh_pad - bh), (0, 0), (0, 0)])
+        vT = jnp.pad(vT, [(0, bh_pad - bh), (0, 0), (0, 0)])
+
+    grid = (bh_pad // blk,)
+    q_spec = pl.BlockSpec((blk, S, hd), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((blk, hd, S), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    oT = pl.pallas_call(
+        functools.partial(_tiny_attention_kernel, scale=scale, hd=hd),
+        out_shape=jax.ShapeDtypeStruct((bh_pad, hd, S), q2.dtype),
+        grid=grid,
+        in_specs=[q_spec, t_spec, t_spec],
+        out_specs=t_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * bh_pad * S * S * hd,
+            bytes_accessed=4 * bh_pad * S * hd * q2.dtype.itemsize,
+            transcendentals=bh_pad * S * S,
+        ),
+    )(q2, kT, vT)
+    return oT[:bh].transpose(0, 2, 1).reshape(orig_shape)
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
@@ -61,6 +137,8 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
 def _fused_attention_impl(q: jax.Array, k: jax.Array,
                           v: jax.Array) -> jax.Array:
     """q, k, v: (..., H, S, hd) -> context (..., H, S, hd)."""
+    if q.shape[-1] <= TINY_HD:
+        return _tiny_attention_impl(q, k, v)
     orig_shape = q.shape
     *lead, S, hd = q.shape
     scale = 1.0 / math.sqrt(hd)        # true head_dim, before padding
