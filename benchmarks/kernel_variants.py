@@ -87,6 +87,11 @@ def main(argv=None):
 
     if "baseline" in which:
         run_variant("baseline (tile 512, attn xla)", x, B, iters)
+    for nb in (256, 768, 1024):
+        if f"b{nb}" in which:
+            xb = jnp.asarray(rng.normal(size=(nb, 128, 128, 5, 1))
+                             .astype(np.float32)).astype(jnp.bfloat16)
+            run_variant(f"batch {nb}", xb, nb, iters)
     if "attn_vpu" in which:
         attn_mod.set_default_attention_impl("vpu")
         run_variant("attn vpu (mul-reduce)", x, B, iters)
@@ -100,6 +105,11 @@ def main(argv=None):
             pallas_mlp.TILE_N = tile
             run_variant(f"mlp tile {tile}", x, B, iters)
             pallas_mlp.TILE_N = 512
+    for variant in ("chunked", "pipelined2"):
+        if f"mlp_{variant}" in which:
+            pallas_mlp._MLP_VARIANT = variant
+            run_variant(f"mlp {variant}", x, B, iters)
+            pallas_mlp._MLP_VARIANT = "seq"
     if "per_config" in which:
         # time each of the 18 exact-shape programs separately: which
         # (hidden, heads) class eats the residual above the matmul+GELU

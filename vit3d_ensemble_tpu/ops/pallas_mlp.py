@@ -101,6 +101,59 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
 # kernel (3485 vs 4317 vol/s on the 18-model bench) — Mosaic does not
 # overlap the predicated MXU/VPU regions, and the extra grid step plus
 # scratch round-trip cost more than they save.  Keep the kernel sequential.
+#
+# Round-2b experiments (benchmarks/kernel_variants.py mlp_chunked /
+# mlp_pipelined2) re-tested MXU/VPU overlap WITHOUT predicates:
+#   * "chunked": fc1 whole-tile, then an unrolled chunk loop interleaving
+#     gelu(chunk k) with the fc2 partial dot of chunk k-1 — chunk k's VPU
+#     work is independent of chunk k-1's MXU dot, so the hardware could
+#     in principle overlap them with no pl.when in sight.
+#   * "pipelined2": n_tiles+1 grid steps, clamped index maps (the first
+#     step's gelu+fc2 consumes uninitialised scratch and its output is
+#     overwritten in step 1 before the block leaves VMEM), fc1_i issued
+#     LAST so its consumer sits a full grid step away.
+# MEASURED (v5e, 18-model bench, B=512, bit-exact vs seq): seq 7954,
+# chunked 7932 (tie), pipelined2 7331 (-8%: the extra grid step + scratch
+# round-trip cost, zero overlap gained).  Conclusion: Mosaic issues MXU
+# and VPU work strictly in order regardless of predication or issue
+# distance — the gelu pass is architecturally serialized with the matmuls
+# on this toolchain, and the serialized matmul+GELU floor in
+# docs/RESULTS.md is the true kernel floor.  "seq" stays the default.
+_MLP_VARIANT = "seq"  # "seq" | "chunked" | "pipelined2"
+_CHUNK_M = 512
+
+
+def _chunked_mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
+                        fast_gelu: bool):
+    gelu = _poly_gelu if fast_gelu else _erf_gelu
+    x = x_ref[...]
+    h = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
+    h = h + b1_ref[0].astype(jnp.float32)
+    M = h.shape[-1]
+    acc = jnp.zeros((x.shape[0], o_ref.shape[-1]), jnp.float32)
+    # unrolled: gelu(chunk c) is independent of the dot of chunk c-1
+    for c in range(0, M, _CHUNK_M):
+        g = gelu(h[:, c:c + _CHUNK_M]).astype(x.dtype)
+        acc = acc + jnp.dot(g, w2_ref[c:c + _CHUNK_M, :],
+                            preferred_element_type=jnp.float32)
+    o_ref[...] = (acc + b2_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _pipelined2_mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                           h_scr, *, fast_gelu: bool):
+    gelu = _poly_gelu if fast_gelu else _erf_gelu
+    i = pl.program_id(0)
+    # stage B: gelu+fc2 of the PREVIOUS step's fc1 (step 0 consumes
+    # uninitialised scratch; its output block is overwritten in step 1
+    # before Pallas copies the block out).
+    g = gelu(h_scr[(i + 1) % 2]).astype(o_ref.dtype)
+    out = jnp.dot(g, w2_ref[...], preferred_element_type=jnp.float32)
+    o_ref[...] = (out + b2_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+    # stage A: fc1 of THIS step's tile, issued last — its consumer is a
+    # grid step away, the longest distance the hardware can hide it over.
+    x = x_ref[...]
+    h = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
+    h_scr[i % 2] = h + b1_ref[0].astype(jnp.float32)
 
 
 def _fused_mlp_impl(x, w1, b1, w2, b2, mlp_active):
@@ -138,18 +191,38 @@ def _fused_mlp_impl(x, w1, b1, w2, b2, mlp_active):
     ]
     args = (x2, w1, b1.reshape(1, M), w2m, b2.reshape(1, D))
 
-    grid_spec = pl.GridSpec(
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((TILE_N, D), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            *w_specs,
-        ],
-        out_specs=pl.BlockSpec((TILE_N, D), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-    )
+    if _MLP_VARIANT == "pipelined2":
+        grid_spec = pl.GridSpec(
+            grid=(n_tiles + 1,),
+            in_specs=[
+                pl.BlockSpec((TILE_N, D),
+                             lambda i: (jnp.minimum(i, n_tiles - 1), 0),
+                             memory_space=pltpu.VMEM),
+                *w_specs,
+            ],
+            out_specs=pl.BlockSpec((TILE_N, D),
+                                   lambda i: (jnp.maximum(i - 1, 0), 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((2, TILE_N, M), jnp.float32)],
+        )
+        kernel = functools.partial(_pipelined2_mlp_kernel,
+                                   fast_gelu=fast_gelu)
+    else:
+        grid_spec = pl.GridSpec(
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((TILE_N, D), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                *w_specs,
+            ],
+            out_specs=pl.BlockSpec((TILE_N, D), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        kernel = functools.partial(
+            _chunked_mlp_kernel if _MLP_VARIANT == "chunked"
+            else _mlp_kernel, fast_gelu=fast_gelu)
     out = pl.pallas_call(
-        functools.partial(_mlp_kernel, fast_gelu=fast_gelu),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, D), x.dtype),
         cost_estimate=cost,
