@@ -126,7 +126,8 @@ def test_cli_ensemble_pipeline(synth_root, tmp_path):
     # reference-faithful end-to-end CV mode (backbones fine-tuned)
     res_e2e = ens_d.main([
         "--max_configs", "4", "--num_epochs", "2", "--num_cv", "1",
-        "--end_to_end", "--workbook", "Ensemble_CV_e2e",
+        "--end_to_end", "--save_ensembles", "--workbook",
+        "Ensemble_CV_e2e",
         *_common(synth_root, out, "cross_validation"),
     ])
     assert "1_2_3" in res_e2e and "CV 1" in res_e2e["1_2_3"]
@@ -136,7 +137,8 @@ def test_cli_ensemble_pipeline(synth_root, tmp_path):
     # e2e sweep resume: completed combos reload from markers (no retrain)
     res_resumed = ens_d.main([
         "--max_configs", "4", "--num_epochs", "2", "--num_cv", "1",
-        "--end_to_end", "--resume", "--workbook", "Ensemble_CV_e2e",
+        "--end_to_end", "--resume", "--save_ensembles", "--workbook",
+        "Ensemble_CV_e2e",
         *_common(synth_root, out, "cross_validation"),
     ])
     assert res_resumed == res_e2e
@@ -151,7 +153,8 @@ def test_cli_ensemble_pipeline(synth_root, tmp_path):
         shutil.copytree(src, out_pad / "baseline_models" / f"conf{c}")
     res_pad = ens_d.main([
         "--max_configs", "4", "--num_epochs", "2", "--num_cv", "1",
-        "--end_to_end", "--padded_compile", "--workbook", "Ensemble_pad",
+        "--end_to_end", "--padded_compile", "--save_ensembles",
+        "--workbook", "Ensemble_pad",
         *_common(synth_root, out_pad, "cross_validation"),
     ])
     assert "1_2_3" in res_pad and "CV 1" in res_pad["1_2_3"]
@@ -236,3 +239,25 @@ def test_cli_ensemble_bootstrap(synth_root, tmp_path):
     assert "1_2_3" in val_res and "boot1" in val_res["1_2_3"]
     assert "1_2_3" in test_res
     assert (out / "Ensemble_Bootstrap_test.csv").exists()
+
+    # end-to-end grid mode: held-out test metrics ride the selection
+    # payload; checkpoints written only with --save_ensembles
+    val_e2e, test_e2e = d.main([
+        "--max_configs", "4", "--num_rep", "2", "--num_epochs", "2",
+        "--save_ensembles", "--workbook", "Ensemble_Boot_e2e",
+        *_common(synth_root, out, "fixed_split"),
+    ])
+    assert "1_2_3" in val_e2e and "boot1" in test_e2e["1_2_3"]
+    m = test_e2e["1_2_3"]["boot0"]
+    assert np.isfinite([m["AUROC"], m["BS"]]).all()
+    assert (out / "bootstrap_ensemble_models" / "ensemble_1_2_3" /
+            "bootstrap_1.msgpack").exists()
+    assert (out / "Ensemble_Boot_e2e_test.csv").exists()
+
+    # resume: marker-complete combos reload without retraining
+    val_r, test_r = d.main([
+        "--max_configs", "4", "--num_rep", "2", "--num_epochs", "2",
+        "--save_ensembles", "--resume", "--workbook", "Ensemble_Boot_e2e",
+        *_common(synth_root, out, "fixed_split"),
+    ])
+    assert val_r == val_e2e and test_r == test_e2e

@@ -61,8 +61,22 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--padded_compile",
                         action=argparse.BooleanOptionalAction, default=True,
                         help="(end-to-end) pad members to shape-class "
-                             "templates so combinations share compiled "
-                             "programs (see train_ensemble_cv).")
+                             "templates and train the whole (combination, "
+                             "replicate) grid as vmapped chunks sharing "
+                             "<=10 compiled programs (see "
+                             "train_ensemble_cv); --no-padded_compile "
+                             "restores the sequential exact-shape loop "
+                             "(always saves checkpoints).")
+    parser.add_argument("--save_ensembles",
+                        action=argparse.BooleanOptionalAction, default=False,
+                        help="(grid mode) fetch and write every "
+                             "(combination, replicate) best-ensemble "
+                             "checkpoint; default keeps metrics+reports "
+                             "only.  The sequential mode always saves.")
+    parser.add_argument("--e2e_chunk", type=int, default=0,
+                        help="(grid mode) combinations per vmapped chunk; "
+                             "0 sizes chunks from the device-memory "
+                             "budget.")
     parser.add_argument("--random_init_members", action="store_true")
     parser.add_argument("--workbook", default="Ensemble_Bootstrap")
     parser.add_argument("--output_path", default=None)
@@ -186,6 +200,83 @@ def run_frozen(args):
     return val_results, test_results
 
 
+def run_end_to_end_grid(args):
+    """Reference-faithful results, vmapped: the (combination, replicate)
+    grid trains as chunked vmapped programs (`sweep/e2e_grid.py`).  The
+    held-out test evaluation rides the selection payload (test probs are
+    recomputed at every best-accept, which equals evaluating the best
+    checkpoint once, `/root/reference/train_ensemble_bootstrap.py:224-254`)
+    — no params ever leave the device unless --save_ensembles."""
+    import json
+    from itertools import combinations as it_combinations
+
+    from vit3d_ensemble_tpu.metrics.host import eleven_metrics
+    from vit3d_ensemble_tpu.parallel.mesh import mesh_from_spec
+    from vit3d_ensemble_tpu.sweep.e2e_grid import (
+        run_e2e_grid,
+        stack_e2e_folds,
+    )
+
+    state_dir = os.path.join(args.output_dir, "sweep_state")
+    os.makedirs(state_dir, exist_ok=True)
+    fingerprint = (f"{args.num_rep}rep_{args.num_epochs}ep_"
+                   f"{args.train_batch_size}b_{args.learning_rate}lr_"
+                   f"{args.seed}s_grid")
+
+    def marker_path(name: str) -> str:
+        return os.path.join(state_dir, f"boot_{name}_{fingerprint}.json")
+
+    val_results, test_results = {}, {}
+    todo = []
+    for comb in it_combinations(range(1, args.max_configs),
+                                args.combinations):
+        name = "_".join(str(c) for c in comb)
+        if getattr(args, "resume", False) and os.path.exists(
+                marker_path(name)):
+            with open(marker_path(name)) as f:
+                saved = json.load(f)
+            val_results[name] = saved["val"]
+            test_results[name] = saved["test"]
+            logger.info("resume: skipping completed ensemble %s", name)
+        else:
+            todo.append(comb)
+    if not todo:
+        return val_results, test_results
+
+    reps = [_splits_for_rep(args, rep) for rep in range(args.num_rep)]
+    data = stack_e2e_folds(reps, args.num_epochs, args.train_batch_size,
+                           args.seed)
+    save = getattr(args, "save_ensembles", False)
+
+    def on_result(plan, res, extras):
+        val_results[plan.name] = res
+        test_results[plan.name] = {}
+        for r in range(args.num_rep):
+            probs = np.asarray(extras["test_probs"][r])
+            preds = (probs > 0.5).astype(np.int32)
+            test_results[plan.name][f"boot{r}"] = {
+                k: float(v) for k, v in eleven_metrics(
+                    reps[r][2].labels, preds, probs).items()}
+            if save:
+                save_pytree(
+                    ensemble_ckpt_path(args.output_dir,
+                                       "bootstrap_ensemble", plan.name,
+                                       f"bootstrap_{r}"),
+                    extras["params"][r])
+        tmp = marker_path(plan.name) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"val": res, "test": test_results[plan.name]}, fh)
+        os.replace(tmp, marker_path(plan.name))
+
+    run_e2e_grid(
+        todo, lambda c: _load_member(args, c), data,
+        num_epochs=args.num_epochs, learning_rate=args.learning_rate,
+        seed=args.seed, mesh=mesh_from_spec(getattr(args, "mesh", None)),
+        chunk=getattr(args, "e2e_chunk", 0), keep_payload=save,
+        fold_label=lambda r: f"boot{r}", on_result=on_result)
+    return val_results, test_results
+
+
 def run_end_to_end(args):
     from itertools import combinations as it_combinations
 
@@ -197,6 +288,9 @@ def run_end_to_end(args):
     import jax
     import numpy as np
 
+    if getattr(args, "padded_compile", False):
+        return run_end_to_end_grid(args)
+
     val_results, test_results = {}, {}
     combos = list(it_combinations(range(1, args.max_configs),
                                   args.combinations))
@@ -207,14 +301,6 @@ def run_end_to_end(args):
         members = [p for _, p in loaded]
         masks = crop_to = None
         train_cfgs = configs
-        if getattr(args, "padded_compile", False):
-            from vit3d_ensemble_tpu.train.ensemble_trainer import (
-                pad_members_to_templates,
-            )
-
-            train_cfgs, members, masks = pad_members_to_templates(configs,
-                                                                  members)
-            crop_to = configs
         val_results[name], test_results[name] = {}, {}
         for rep in range(args.num_rep):
             train, val, test = _splits_for_rep(args, rep)

@@ -80,13 +80,26 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--padded_compile",
                         action=argparse.BooleanOptionalAction, default=True,
                         help="(end-to-end) pad members to shape-class "
-                             "templates with runtime masks so every "
-                             "combination of a class-multiset shares one "
-                             "compiled program (<=10 compiles for all 816 "
-                             "combos instead of one per combo); exact "
-                             "math, different dropout stream.  "
-                             "--no-padded_compile restores per-combination "
-                             "exact-shape compiles.")
+                             "templates with runtime masks and train the "
+                             "whole (combination, fold) grid as vmapped "
+                             "chunks sharing <=10 compiled programs "
+                             "(sweep/e2e_grid.py); exact math, different "
+                             "dropout stream.  --no-padded_compile "
+                             "restores sequential per-combination "
+                             "exact-shape compiles (and always writes "
+                             "per-ensemble checkpoints).")
+    parser.add_argument("--save_ensembles",
+                        action=argparse.BooleanOptionalAction, default=False,
+                        help="(grid mode) fetch and write every "
+                             "(combination, fold) best-ensemble checkpoint "
+                             "like the reference does — for the full 816x5 "
+                             "sweep that is ~4080 files / tens of GB, so "
+                             "the default keeps metrics+reports only.  "
+                             "The sequential mode always saves.")
+    parser.add_argument("--e2e_chunk", type=int, default=0,
+                        help="(grid mode) combinations per vmapped chunk; "
+                             "0 sizes chunks from the device-memory "
+                             "budget.")
     parser.add_argument("--random_init_members", action="store_true",
                         help="Use fresh inits for missing baseline ckpts.")
     parser.add_argument("--workbook", default="Ensemble_CV",
@@ -183,24 +196,97 @@ def run_frozen(args) -> Dict[str, Dict[str, Dict[str, float]]]:
     return results
 
 
+def _e2e_fingerprint(args, mode_tag: str) -> str:
+    return (f"{args.num_cv}cv_{args.num_epochs}ep_"
+            f"{args.train_batch_size}b_{args.learning_rate}lr_"
+            f"{args.seed}s{mode_tag}")
+
+
+def run_end_to_end_grid(args) -> Dict[str, Dict[str, Dict[str, float]]]:
+    """Reference-faithful results, vmapped: the whole (combination, fold)
+    grid trains as chunked vmapped programs (`sweep/e2e_grid.py`) — the
+    4080-training sweep the reference loops sequentially
+    (`/root/reference/train_ensemble_cv.py:56-85`).  Per-combination resume
+    markers persist as chunks complete; checkpoints are written only with
+    --save_ensembles (4080 files for the full sweep)."""
+    import json
+    from itertools import combinations as it_combinations
+
+    from vit3d_ensemble_tpu.parallel.mesh import mesh_from_spec
+    from vit3d_ensemble_tpu.sweep.e2e_grid import (
+        run_e2e_grid,
+        stack_e2e_folds,
+    )
+
+    state_dir = os.path.join(args.output_dir, "sweep_state")
+    os.makedirs(state_dir, exist_ok=True)
+    # "_grid" (not "_pad"): grid dropout streams differ from the
+    # sequential padded mode's, so their markers must not mix.
+    fingerprint = _e2e_fingerprint(args, "_grid")
+
+    def marker_path(name: str) -> str:
+        return os.path.join(state_dir, f"e2e_{name}_{fingerprint}.json")
+
+    results: Dict[str, Dict[str, Dict[str, float]]] = {}
+    todo = []
+    for comb in it_combinations(range(1, args.max_configs),
+                                args.combinations):
+        name = "_".join(str(c) for c in comb)
+        if getattr(args, "resume", False) and os.path.exists(
+                marker_path(name)):
+            with open(marker_path(name)) as f:
+                results[name] = json.load(f)
+            logger.info("resume: skipping completed ensemble %s", name)
+        else:
+            todo.append(comb)
+    if not todo:
+        return results
+
+    folds = [build_train_val(
+        os.path.join(args.csv_path, f"training_cv{cv + 1}.csv"),
+        os.path.join(args.csv_path, f"validation_cv{cv + 1}.csv"),
+        args.data_root, aug_mode="none", size=args.img_size)
+        for cv in range(args.num_cv)]
+    data = stack_e2e_folds([(t, v) for t, v, _ in folds], args.num_epochs,
+                           args.train_batch_size, args.seed)
+    save = getattr(args, "save_ensembles", False)
+
+    def on_result(plan, res, extras):
+        if save:
+            for f, params in enumerate(extras["params"]):
+                save_pytree(
+                    ensemble_ckpt_path(args.output_dir, "cv_ensemble",
+                                       plan.name, f"cv{f + 1}"), params)
+        tmp = marker_path(plan.name) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(res, fh)
+        os.replace(tmp, marker_path(plan.name))
+
+    results.update(run_e2e_grid(
+        todo, lambda c: _load_member(args, c), data,
+        num_epochs=args.num_epochs, learning_rate=args.learning_rate,
+        seed=args.seed, mesh=mesh_from_spec(getattr(args, "mesh", None)),
+        chunk=getattr(args, "e2e_chunk", 0), keep_payload=save,
+        on_result=on_result))
+    return results
+
+
 def run_end_to_end(args) -> Dict[str, Dict[str, Dict[str, float]]]:
-    """Reference-faithful mode.  At C(18,3) x num_cv full-ensemble retrains
-    this is the framework's longest job, so each completed combination's
-    results persist as a marker under output_dir/sweep_state/ and --resume
-    skips them after preemption (the frozen mode needs no markers — the
-    whole 816-combo sweep is seconds)."""
+    """Reference-faithful mode.  With --padded_compile (default) the whole
+    grid trains vmapped (see `run_end_to_end_grid`); --no-padded_compile
+    keeps the sequential per-combination exact-shape loop below, with
+    per-combination resume markers."""
     import json
     from itertools import combinations as it_combinations
 
     from vit3d_ensemble_tpu.train.ensemble_trainer import train_ensemble
 
+    if getattr(args, "padded_compile", False):
+        return run_end_to_end_grid(args)
+
     state_dir = os.path.join(args.output_dir, "sweep_state")
     os.makedirs(state_dir, exist_ok=True)
-    fingerprint = (f"{args.num_cv}cv_{args.num_epochs}ep_"
-                   f"{args.train_batch_size}b_{args.learning_rate}lr_"
-                   f"{args.seed}s"
-                   + ("_pad" if getattr(args, "padded_compile", False)
-                      else ""))
+    fingerprint = _e2e_fingerprint(args, "")
 
     results: Dict[str, Dict[str, Dict[str, float]]] = {}
     combos = list(it_combinations(range(1, args.max_configs),
@@ -226,14 +312,6 @@ def run_end_to_end(args) -> Dict[str, Dict[str, Dict[str, float]]]:
         members = [p for _, p in loaded]
         masks = crop_to = None
         train_cfgs = configs
-        if getattr(args, "padded_compile", False):
-            from vit3d_ensemble_tpu.train.ensemble_trainer import (
-                pad_members_to_templates,
-            )
-
-            train_cfgs, members, masks = pad_members_to_templates(configs,
-                                                                  members)
-            crop_to = configs
         results[name] = {}
         for cv, (t, v, _) in enumerate(folds):
             save = ensemble_ckpt_path(args.output_dir, "cv_ensemble", name,

@@ -1,0 +1,461 @@
+"""Vmapped END-TO-END ensemble sweep: every (combination, fold) trained
+simultaneously, backbones unfrozen.
+
+The reference's flagship workload retrains the FULL ensemble (3 backbones +
+meta head, Adam, 100 epochs) for every C(18,3) = 816 combination x 5 CV
+folds (`/root/reference/train_ensemble_cv.py:56-85`) — 4080 sequential
+trainings.  `cli/train_ensemble_cv.py:run_end_to_end` reproduces that loop
+faithfully but dispatches one program per (combination, fold); this module
+instead stacks combinations and folds on vmap axes, exactly like the
+baseline sweep engine does for (config, fold):
+
+  * members are padded to their (hidden, heads) class templates with
+    runtime depth/width masks (exact — `pad_members_to_templates`), so one
+    program serves every combination whose members come from the same
+    CLASS MULTISET;
+  * slots are canonically SORTED by class, which collapses the ordered
+    class signatures from 27 to C(3+2,2) = 10 — the meta head's init rows
+    are permuted with the members, so results equal the sequential mode's
+    (a Linear head is permutation-equivariant in its inputs when its
+    per-row init moves with them).  One stream-level caveat: flax folds
+    dropout rngs by module path, and the sort renames member paths
+    (conf 2 may run as transformer_0), so each member's dropout DRAWS
+    differ from the sequential ordering — the same class of documented
+    deviation as padded-width dropout (`pad_members_to_templates`), and
+    exactness holds whenever dropout is off (tests/test_e2e_grid.py);
+  * combinations are chunked to bound device memory (params + Adam moments
+    + grads per instance), folds ride the inner vmap axis, and an optional
+    Mesh('model', 'data') shards combination-chunks x folds across chips —
+    the same sharding contract as the frozen sweep.
+
+Per-fold step counts may differ (train-split sizes differ); shorter folds
+are padded with fully-masked steps that are TRUE no-ops (params, Adam
+state, and the dropout rng stream are all held — the guard the frozen
+sweep established), so each fold's trajectory is identical to its
+exact-shape sequential run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vit3d_ensemble_tpu.configs import ViTConfig, parameters_config
+from vit3d_ensemble_tpu.data import EpochBatcher, SplitArrays
+from vit3d_ensemble_tpu.metrics.jax_metrics import compute_eval_metrics
+from vit3d_ensemble_tpu.models import TransformerEnsemble
+from vit3d_ensemble_tpu.sweep.engine import METRIC_KEYS, _metrics_vector
+from vit3d_ensemble_tpu.train.ensemble_trainer import (
+    crop_ensemble_params,
+    init_ensemble,
+    pad_members_to_templates,
+)
+from vit3d_ensemble_tpu.train.optim import adam
+from vit3d_ensemble_tpu.train.selection import (
+    device_best_init,
+    device_consider,
+    device_take_if,
+)
+
+logger = logging.getLogger(__name__)
+
+#: Device-memory budget for one chunk's training state (params + Adam m/v
+#: + grads, x folds).  The v5e has 16 GB HBM; the fold data (~0.4 GB),
+#: activations, and compiler scratch take the rest.
+_CHUNK_STATE_BYTES = int(6 * 2**30)
+
+
+def _conf_class(conf: int) -> Tuple[int, int]:
+    """(hidden, heads) shape class of a baseline conf number."""
+    _, _, _, hs, nh = parameters_config(conf)
+    return (hs, nh)
+
+
+@dataclasses.dataclass(frozen=True)
+class ComboPlan:
+    """One combination, canonically slot-sorted for program sharing."""
+
+    confs: Tuple[int, ...]          # original ascending conf order
+    sorted_confs: Tuple[int, ...]   # slot order actually run (by class)
+    perm: Tuple[int, ...]           # slot j holds original slot perm[j]
+
+    @property
+    def name(self) -> str:
+        return "_".join(str(c) for c in self.confs)
+
+
+def plan_combo(confs: Sequence[int]) -> ComboPlan:
+    confs = tuple(confs)
+    order = sorted(range(len(confs)),
+                   key=lambda i: (_conf_class(confs[i]), confs[i]))
+    return ComboPlan(confs=confs,
+                     sorted_confs=tuple(confs[i] for i in order),
+                     perm=tuple(order))
+
+
+def signature_of(plan: ComboPlan) -> Tuple[Tuple[int, int], ...]:
+    return tuple(_conf_class(c) for c in plan.sorted_confs)
+
+
+@dataclasses.dataclass
+class E2EFoldData:
+    """Fold-stacked splits, padded to common sizes (see engine.stack_folds;
+    ensembles consume whole normalized splits, no shared pool).  The
+    optional test split (the bootstrap driver's held-out set,
+    `/root/reference/train_ensemble_bootstrap.py:224-254`) rides the same
+    fold axis — the grid evaluates it at every best-accept, which equals
+    evaluating the best checkpoint once."""
+
+    vols: np.ndarray          # (F, N, H, W, Z, C) float32
+    labels: np.ndarray        # (F, N) float32
+    val_vols: np.ndarray      # (F, V, H, W, Z, C) float32
+    val_labels: np.ndarray    # (F, V) float32
+    val_mask: np.ndarray      # (F, V) float32
+    idx_all: np.ndarray       # (F, E, S, B) int32
+    msk_all: np.ndarray       # (F, E, S, B) float32
+    val_sizes: Tuple[int, ...]
+    test_vols: Optional[np.ndarray] = None    # (F, T, H, W, Z, C)
+    test_sizes: Tuple[int, ...] = ()
+
+    @property
+    def n_folds(self) -> int:
+        return self.vols.shape[0]
+
+
+def stack_e2e_folds(folds: Sequence[Tuple],
+                    num_epochs: int, batch_size: int,
+                    seed: int) -> E2EFoldData:
+    """Pad per-fold splits to common shapes + the whole-run batch schedule.
+
+    `folds` entries are (train, val) or (train, val, test) SplitArrays
+    tuples.  Matches the sequential trainer exactly: each fold's schedule
+    comes from its own `EpochBatcher(n_f, B, seed)`
+    (`train/ensemble_trainer.py`); folds shorter than the longest get
+    fully-masked no-op steps appended at each epoch's end.
+    """
+    F = len(folds)
+    n_max = max(len(f[0]) for f in folds)
+    v_max = max(len(f[1]) for f in folds)
+    s_max = max(EpochBatcher(len(f[0]), batch_size, seed=seed)
+                .steps_per_epoch for f in folds)
+    shp = folds[0][0].volumes.shape[1:]
+    with_test = len(folds[0]) > 2 and folds[0][2] is not None
+
+    vols = np.zeros((F, n_max) + shp, np.float32)
+    labels = np.zeros((F, n_max), np.float32)
+    val_vols = np.zeros((F, v_max) + shp, np.float32)
+    val_labels = np.zeros((F, v_max), np.float32)
+    val_mask = np.zeros((F, v_max), np.float32)
+    idx_all = np.zeros((F, num_epochs, s_max, batch_size), np.int32)
+    msk_all = np.zeros((F, num_epochs, s_max, batch_size), np.float32)
+    test_vols = None
+    if with_test:
+        t_max = max(len(f[2]) for f in folds)
+        test_vols = np.zeros((F, t_max) + shp, np.float32)
+
+    for f, fold in enumerate(folds):
+        t, v = fold[0], fold[1]
+        n, vn = len(t), len(v)
+        vols[f, :n] = t.volumes
+        labels[f, :n] = t.labels.astype(np.float32)
+        val_vols[f, :vn] = v.volumes
+        val_labels[f, :vn] = v.labels.astype(np.float32)
+        val_mask[f, :vn] = 1.0
+        if with_test:
+            test_vols[f, :len(fold[2])] = fold[2].volumes
+        batcher = EpochBatcher(n, batch_size, seed=seed)
+        for e in range(num_epochs):
+            for s, (idx, msk) in enumerate(batcher.epoch()):
+                idx_all[f, e, s] = idx
+                msk_all[f, e, s] = msk
+    return E2EFoldData(vols, labels, val_vols, val_labels, val_mask,
+                       idx_all, msk_all,
+                       val_sizes=tuple(len(f[1]) for f in folds),
+                       test_vols=test_vols,
+                       test_sizes=(tuple(len(f[2]) for f in folds)
+                                   if with_test else ()))
+
+
+@functools.lru_cache(maxsize=None)
+def _grid_run_fn(sig_cfgs: Tuple[ViTConfig, ...], learning_rate: float,
+                 keep_payload: bool, with_test: bool):
+    """(combo, fold)-vmapped whole-run training program for one class
+    signature.  Mirrors `train/ensemble_trainer._ensemble_run_fn` (same
+    loss, Adam, eval cadence, selection rule) with three grid adaptations:
+    masked eval (padded val rows), no-op padded steps, and a selection
+    payload that carries only what the caller needs — the best params
+    (fetching 4080 best ensembles is ~GBs over the device link, so opt-in
+    via `keep_payload`) and/or the held-out test split's probabilities
+    under the accepted params (`with_test`: recomputing them at every
+    accept equals evaluating the best checkpoint once, without ever
+    fetching it)."""
+    model = TransformerEnsemble(sig_cfgs)
+    tx = adam(learning_rate)
+    n_slots = len(sig_cfgs)
+
+    def run_one(params, masks, vols, labels, val_vols, val_labels, val_mask,
+                test_vols, idx_all, msk_all, rng0):
+        mm = tuple((masks[i, 0], masks[i, 1]) for i in range(n_slots))
+
+        def loss_fn(p, bv, bl, bm, drop_rng):
+            probs = model.apply({"params": p}, bv, deterministic=False,
+                                rngs={"dropout": drop_rng},
+                                member_masks=mm).reshape(-1)
+            pc = jnp.clip(probs, 1e-12, 1 - 1e-12)
+            per = -(bl * jnp.log(pc) + (1 - bl) * jnp.log(1 - pc))
+            return jnp.sum(per * bm) / jnp.maximum(jnp.sum(bm), 1.0)
+
+        def one_step(carry, im):
+            p, opt, rng = carry          # rng carried as raw key data
+            idx, bm = im
+            new_key, sub = jax.random.split(jax.random.wrap_key_data(rng))
+            loss, grads = jax.value_and_grad(loss_fn)(
+                p, vols[idx], labels[idx], bm, sub)
+            updates, new_opt = tx.update(grads, opt, p)
+            new_p = optax.apply_updates(p, updates)
+            # fully-masked padding steps must be TRUE no-ops — params, Adam
+            # moments/count, and the rng stream all hold, so each fold's
+            # trajectory equals its exact-shape sequential run.
+            has_valid = jnp.sum(bm) > 0
+            take = lambda new, old: jax.tree.map(   # noqa: E731
+                lambda a, c: jnp.where(has_valid, a, c), new, old)
+            new_rng = jnp.where(has_valid, jax.random.key_data(new_key), rng)
+            return (take(new_p, p), take(new_opt, opt), new_rng), loss
+
+        def evaluate(p):
+            probs = model.apply({"params": p}, val_vols,
+                                deterministic=True,
+                                member_masks=mm).reshape(-1)
+            return _metrics_vector(
+                compute_eval_metrics(probs, val_labels, val_mask)), probs
+
+        def payload_of(p):
+            pay = {}
+            if keep_payload:
+                pay["params"] = p
+            if with_test:
+                pay["test_probs"] = model.apply(
+                    {"params": p}, test_vols, deterministic=True,
+                    member_masks=mm).reshape(-1)
+            return pay
+
+        def epoch_body(carry, chunk):
+            inner, best = carry
+            inner, losses = jax.lax.scan(one_step, inner, chunk)
+            mvec, probs = evaluate(inner[0])
+            best = device_consider(best, mvec, probs, payload_of(inner[0]),
+                                   jnp.bool_(False))
+            return (inner, best), losses[-1]
+
+        opt = tx.init(params)
+        best0 = device_best_init(11, val_vols.shape[0], payload_of(params))
+        inner0 = (params, opt, jax.random.key_data(rng0))
+        (inner, best), _ = jax.lax.scan(epoch_body, (inner0, best0),
+                                        (idx_all, msk_all))
+        mvec, probs = evaluate(inner[0])
+        best = device_take_if(best, mvec, probs, payload_of(inner[0]),
+                              ~best["found"])
+        return dict(metrics=best["metrics"], probs=best["probs"],
+                    payload=best["payload"])
+
+    # inner vmap: folds; outer vmap: combinations.  rng is shared (the
+    # sequential mode seeds every (combo, fold) run identically).
+    fold_axes = (None, None, 0, 0, 0, 0, 0, 0, 0, 0, None)
+    combo_axes = (0, 0) + (None,) * 9
+    return jax.jit(jax.vmap(jax.vmap(run_one, in_axes=fold_axes),
+                            in_axes=combo_axes))
+
+
+def _member_padder(member_loader: Callable, pad_kwargs: Optional[dict]):
+    """conf -> (template_cfg, padded host param tree, (layers, mlp) mask),
+    cached per sweep — padding each of the 18 members once serves all 816
+    combinations.  The cache is local to one `run_e2e_grid` call (a global
+    one would leak members across different checkpoint directories)."""
+    cache: Dict[int, Tuple] = {}
+
+    def get(conf: int):
+        if conf not in cache:
+            cfg, params = member_loader(conf)
+            tcfgs, padded, masks = pad_members_to_templates(
+                [cfg], [params], **(pad_kwargs or {}))
+            cache[conf] = (tcfgs[0], jax.device_get(padded[0]), masks[0])
+        return cache[conf]
+
+    return get
+
+
+def _stack_trees(trees: Sequence[dict]):
+    return jax.tree.map(lambda *xs: np.stack(xs), *trees)
+
+
+def _auto_chunk(param_bytes_per_combo: int, n_folds: int,
+                keep_payload: bool) -> int:
+    copies = 5 if keep_payload else 4      # params + m + v + grads (+best)
+    per_combo = param_bytes_per_combo * copies * n_folds
+    return int(max(1, min(64, _CHUNK_STATE_BYTES // max(per_combo, 1))))
+
+
+def run_e2e_grid(
+    combos: Sequence[Sequence[int]],
+    member_loader: Callable[[int], Tuple[ViTConfig, dict]],
+    data: E2EFoldData,
+    *,
+    num_epochs: int = 100,
+    learning_rate: float = 1e-4,
+    seed: int = 42,
+    mesh=None,
+    chunk: int = 0,
+    keep_payload: bool = False,
+    fold_label: Callable[[int], str] = lambda f: f"CV {f + 1}",
+    on_result: Optional[Callable] = None,
+    pad_kwargs: Optional[dict] = None,
+) -> Dict[str, Dict[str, Dict[str, float]]]:
+    """Train every (combination, fold) cell; returns
+    {combo_name: {fold_label: {metric: value}}}.
+
+    `on_result(plan, results_for_combo, best_params_per_fold_or_None)` is
+    called once per combination as its chunk completes — the CLI uses it
+    for resume markers and optional checkpoint writes.  `chunk=0` sizes
+    combination-chunks from the device-memory budget.  With `mesh`,
+    chunks shard over 'model' and folds over 'data'.
+    """
+    F = data.n_folds
+    plans = [plan_combo(c) for c in combos]
+    by_sig: Dict[Tuple, List[ComboPlan]] = {}
+    for p in plans:
+        by_sig.setdefault(signature_of(p), []).append(p)
+
+    with_test = data.test_vols is not None
+    fold_arrs = dict(
+        vols=data.vols, labels=data.labels, val_vols=data.val_vols,
+        val_labels=data.val_labels, val_mask=data.val_mask,
+        test_vols=(data.test_vols if with_test else
+                   np.zeros((F, 1) + data.vols.shape[2:], np.float32)),
+        idx_all=data.idx_all, msk_all=data.msk_all)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vit3d_ensemble_tpu.sweep.engine import _rep_pad
+
+        fd = mesh.shape["data"]
+        F_pad = -(-F // fd) * fd
+        fold_arrs = {k: _rep_pad(v, F_pad) for k, v in fold_arrs.items()}
+        fold_sh = NamedSharding(mesh, P("data"))
+        combo_sh = NamedSharding(mesh, P("model"))
+        fold_arrs = {k: jax.device_put(v, fold_sh)
+                     for k, v in fold_arrs.items()}
+    else:
+        F_pad = F
+        fold_arrs = {k: jnp.asarray(v) for k, v in fold_arrs.items()}
+
+    results: Dict[str, Dict[str, Dict[str, float]]] = {}
+    padded_member = _member_padder(member_loader, pad_kwargs)
+    for sig, sig_plans in by_sig.items():
+        member_trees, member_masks = {}, {}
+        for p in sig_plans:
+            for c in p.sorted_confs:
+                if c not in member_trees:
+                    _, tree, msk = padded_member(c)
+                    member_trees[c], member_masks[c] = tree, msk
+        tcfg_by_class = {_conf_class(c): padded_member(c)[0]
+                         for c in member_trees}
+        sig_cfgs = tuple(tcfg_by_class[cls] for cls in sig)
+
+        # template init (meta head weights; backbone slots get overwritten)
+        _, template = init_ensemble(
+            sig_cfgs, [member_trees[c] for c in sig_plans[0].sorted_confs],
+            seed)
+        template = jax.device_get(template)
+        meta_kernel = template["meta"]["classifier"]["kernel"]  # (k, 1)
+        param_bytes = sum(a.size * 4 for a in
+                          jax.tree.leaves(template))
+        csize = chunk or _auto_chunk(param_bytes, F_pad, keep_payload)
+        if mesh is not None:
+            cm = mesh.shape["model"]
+            csize = max(cm, -(-csize // cm) * cm)
+        run = _grid_run_fn(sig_cfgs, float(learning_rate), keep_payload,
+                           with_test)
+        logger.info("e2e grid: signature %s — %d combination(s), "
+                    "chunk %d", sig, len(sig_plans), csize)
+
+        for lo in range(0, len(sig_plans), csize):
+            batch_plans = sig_plans[lo:lo + csize]
+            pad_c = (csize - len(batch_plans)
+                     if mesh is not None and len(batch_plans) % csize
+                     else 0)
+            padded_plans = batch_plans + [batch_plans[0]] * pad_c
+            stacked, masks = [], []
+            for p in padded_plans:
+                tree = dict(template)
+                # the meta row assigned to each member MOVES with it under
+                # the canonical slot sort — a Linear head is permutation-
+                # equivariant, so results equal the sequential ordering.
+                tree["meta"] = {"classifier": {
+                    "kernel": meta_kernel[list(p.perm)],
+                    "bias": template["meta"]["classifier"]["bias"]}}
+                for j, c in enumerate(p.sorted_confs):
+                    tree[f"transformer_{j}"] = member_trees[c]
+                stacked.append(tree)
+                masks.append([list(member_masks[c])
+                              for c in p.sorted_confs])
+            params = _stack_trees(stacked)
+            masks = np.asarray(masks, np.int32)
+            if mesh is not None:
+                params = jax.tree.map(
+                    lambda a: jax.device_put(a, combo_sh), params)
+                masks = jax.device_put(masks, combo_sh)
+            out = run(params, masks, fold_arrs["vols"],
+                      fold_arrs["labels"], fold_arrs["val_vols"],
+                      fold_arrs["val_labels"], fold_arrs["val_mask"],
+                      fold_arrs["test_vols"],
+                      fold_arrs["idx_all"], fold_arrs["msk_all"],
+                      jax.random.key(seed))
+            metrics = np.asarray(out["metrics"])[:, :F]      # (c, F, 11)
+            pay = out["payload"]
+            test_probs = (np.asarray(pay["test_probs"])[:, :F]
+                          if with_test else None)
+            for ci, p in enumerate(batch_plans):
+                res = {fold_label(f):
+                       {k: float(v) for k, v in zip(METRIC_KEYS,
+                                                    metrics[ci, f])}
+                       for f in range(F)}
+                results[p.name] = res
+                extras = {
+                    "params": ([
+                        _unpermute_ensemble(
+                            jax.tree.map(lambda a: np.asarray(a[ci, f]),
+                                         pay["params"]), p, member_loader)
+                        for f in range(F)] if keep_payload else None),
+                    "test_probs": ([
+                        test_probs[ci, f, :data.test_sizes[f]]
+                        for f in range(F)] if with_test else None),
+                }
+                if on_result is not None:
+                    on_result(p, res, extras)
+                logger.info("ensemble %s median AUROC %.4f", p.name,
+                            float(np.median(metrics[ci, :, 3])))
+    return results
+
+
+def _unpermute_ensemble(params: dict, plan: ComboPlan,
+                        member_loader: Callable) -> dict:
+    """Restore ascending-conf slot order + true member shapes, so grid
+    checkpoints are byte-layout-identical to the sequential mode's."""
+    k = len(plan.confs)
+    out = {"meta": {"classifier": {
+        "kernel": np.empty_like(np.asarray(
+            params["meta"]["classifier"]["kernel"])),
+        "bias": np.asarray(params["meta"]["classifier"]["bias"])}}}
+    for j in range(k):
+        out[f"transformer_{plan.perm[j]}"] = params[f"transformer_{j}"]
+        out["meta"]["classifier"]["kernel"][plan.perm[j]] = \
+            np.asarray(params["meta"]["classifier"]["kernel"])[j]
+    true_cfgs = [member_loader(c)[0] for c in plan.confs]
+    return crop_ensemble_params(out, true_cfgs)
