@@ -68,6 +68,7 @@ class TransformerEnsemble(nn.Module):
 
     configs: Tuple[ViTConfig, ...]
     zero_head: bool = True
+    remat: bool = False          # see vit3d.Encoder.remat
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True,
@@ -78,7 +79,7 @@ class TransformerEnsemble(nn.Module):
                       else (None, None))
             out = VisionTransformer3D(
                 cfg, zero_head=self.zero_head, vis=False,
-                name=f"transformer_{i}",
+                remat=self.remat, name=f"transformer_{i}",
             )(x, deterministic=deterministic, num_layers_active=la,
               mlp_active=ml)
             member_logits.append(out.logits)

@@ -347,6 +347,14 @@ class Encoder(nn.Module):
     """
 
     config: ViTConfig
+    #: Rematerialize each block's activations in the backward pass
+    #: (`jax.checkpoint`).  Numerics-identical; trades ~1/3 more FLOPs for
+    #: NOT streaming every layer's (tokens, mlp_dim) intermediates through
+    #: HBM between forward and backward — at the reference widths (3072-
+    #: wide FFN, 65 tokens, batch 4) those saved residuals are the
+    #: training step's dominant memory AND bandwidth cost, so the vmapped
+    #: sweeps turn this on.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool, return_probs: bool,
@@ -371,8 +379,10 @@ class Encoder(nn.Module):
                 )
                 return out, probs
 
+        block_cls = (nn.remat(ScanBlock, prevent_cse=False)
+                     if self.remat else ScanBlock)
         scanned = nn.scan(
-            ScanBlock,
+            block_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             length=cfg.num_layers,
@@ -392,6 +402,7 @@ class VisionTransformer3D(nn.Module):
     config: ViTConfig
     zero_head: bool = True
     vis: bool = True
+    remat: bool = False          # see Encoder.remat
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True,
@@ -399,7 +410,7 @@ class VisionTransformer3D(nn.Module):
                  mlp_active: Optional[jax.Array] = None) -> ViTOutput:
         cfg = self.config
         x = Embeddings(cfg, name="embeddings")(x, deterministic=deterministic)
-        tokens, probs = Encoder(cfg, name="encoder")(
+        tokens, probs = Encoder(cfg, name="encoder", remat=self.remat)(
             x,
             deterministic=deterministic,
             return_probs=self.vis,

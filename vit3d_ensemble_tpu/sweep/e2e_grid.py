@@ -68,7 +68,10 @@ logger = logging.getLogger(__name__)
 
 #: Device-memory budget for one chunk's training state (params + Adam m/v
 #: + grads, x folds).  The v5e has 16 GB HBM; the fold data (~0.4 GB),
-#: activations, and compiler scratch take the rest.
+#: activations, and compiler scratch take the rest.  Deliberately
+#: conservative: an HBM OOM on this tunnel can CRASH the TPU worker
+#: (observed; ~25 min recovery), so the backoff path is a last resort,
+#: not a sizing strategy.
 _CHUNK_STATE_BYTES = int(6 * 2**30)
 
 
@@ -123,6 +126,12 @@ class E2EFoldData:
     val_sizes: Tuple[int, ...]
     test_vols: Optional[np.ndarray] = None    # (F, T, H, W, Z, C)
     test_sizes: Tuple[int, ...] = ()
+    #: True when every fold has the same steps-per-epoch — then no step is
+    #: ever fully masked and the per-step no-op guard (three whole-tree
+    #: where() passes over params + Adam state, pure HBM bandwidth) is
+    #: compiled out.  The reference CV folds are all 72 rows, so the real
+    #: workload always takes the guard-free program.
+    uniform_steps: bool = True
 
     @property
     def n_folds(self) -> int:
@@ -175,33 +184,51 @@ def stack_e2e_folds(folds: Sequence[Tuple],
             for s, (idx, msk) in enumerate(batcher.epoch()):
                 idx_all[f, e, s] = idx
                 msk_all[f, e, s] = msk
+    steps = {EpochBatcher(len(f[0]), batch_size, seed=seed).steps_per_epoch
+             for f in folds}
     return E2EFoldData(vols, labels, val_vols, val_labels, val_mask,
                        idx_all, msk_all,
                        val_sizes=tuple(len(f[1]) for f in folds),
                        test_vols=test_vols,
                        test_sizes=(tuple(len(f[2]) for f in folds)
-                                   if with_test else ()))
+                                   if with_test else ()),
+                       uniform_steps=len(steps) == 1)
+
+
+#: Epochs per device dispatch.  One chunk's whole run as a single XLA
+#: execution can exceed 10+ minutes of device time, which this tunnel's
+#: worker does not survive (observed: "TPU worker process crashed" on a
+#: chunk-4 x 5-fold x 100-epoch program; the same math dispatched in
+#: epoch segments runs fine).  Segmenting costs nothing: the carry stays
+#: on device between calls and the math is identical.
+SEGMENT_EPOCHS = 10
 
 
 @functools.lru_cache(maxsize=None)
-def _grid_run_fn(sig_cfgs: Tuple[ViTConfig, ...], learning_rate: float,
-                 keep_payload: bool, with_test: bool):
-    """(combo, fold)-vmapped whole-run training program for one class
-    signature.  Mirrors `train/ensemble_trainer._ensemble_run_fn` (same
-    loss, Adam, eval cadence, selection rule) with three grid adaptations:
-    masked eval (padded val rows), no-op padded steps, and a selection
-    payload that carries only what the caller needs — the best params
-    (fetching 4080 best ensembles is ~GBs over the device link, so opt-in
-    via `keep_payload`) and/or the held-out test split's probabilities
-    under the accepted params (`with_test`: recomputing them at every
-    accept equals evaluating the best checkpoint once, without ever
-    fetching it)."""
-    model = TransformerEnsemble(sig_cfgs)
+def _grid_programs(sig_cfgs: Tuple[ViTConfig, ...], learning_rate: float,
+                   keep_payload: bool, with_test: bool,
+                   guarded: bool = True):
+    """(combo, fold)-vmapped (init, segment, finalize) programs for one
+    class signature.  Mirrors `train/ensemble_trainer._ensemble_run_fn`
+    (same loss, Adam, eval cadence, selection rule) with three grid
+    adaptations: masked eval (padded val rows), no-op padded steps, and a
+    selection payload that carries only what the caller needs — the best
+    params (fetching 4080 best ensembles is ~GBs over the device link, so
+    opt-in via `keep_payload`) and/or the held-out test split's
+    probabilities under the accepted params (`with_test`: recomputing them
+    at every accept equals evaluating the best checkpoint once, without
+    ever fetching it).  Training is segmented at epoch granularity so no
+    single device execution runs long enough to trip the tunnel (see
+    SEGMENT_EPOCHS).  Members run with remat (`jax.checkpoint` per
+    encoder block): numerics-identical, and it stops the backward pass
+    from streaming every layer's (tokens, 3072) saved intermediates
+    through HBM — the training step's dominant cost at these shapes."""
+    model = TransformerEnsemble(sig_cfgs, remat=True)
     tx = adam(learning_rate)
     n_slots = len(sig_cfgs)
 
-    def run_one(params, masks, vols, labels, val_vols, val_labels, val_mask,
-                test_vols, idx_all, msk_all, rng0):
+    def bind(masks, vols, labels, val_vols, val_labels, val_mask,
+             test_vols):
         mm = tuple((masks[i, 0], masks[i, 1]) for i in range(n_slots))
 
         def loss_fn(p, bv, bl, bm, drop_rng):
@@ -220,13 +247,18 @@ def _grid_run_fn(sig_cfgs: Tuple[ViTConfig, ...], learning_rate: float,
                 p, vols[idx], labels[idx], bm, sub)
             updates, new_opt = tx.update(grads, opt, p)
             new_p = optax.apply_updates(p, updates)
+            new_rng = jax.random.key_data(new_key)
+            if not guarded:
+                return (new_p, new_opt, new_rng), loss
             # fully-masked padding steps must be TRUE no-ops — params, Adam
             # moments/count, and the rng stream all hold, so each fold's
-            # trajectory equals its exact-shape sequential run.
+            # trajectory equals its exact-shape sequential run.  (Compiled
+            # out when every fold shares one steps-per-epoch — the where()
+            # passes over params + Adam state are pure HBM bandwidth.)
             has_valid = jnp.sum(bm) > 0
             take = lambda new, old: jax.tree.map(   # noqa: E731
                 lambda a, c: jnp.where(has_valid, a, c), new, old)
-            new_rng = jnp.where(has_valid, jax.random.key_data(new_key), rng)
+            new_rng = jnp.where(has_valid, new_rng, rng)
             return (take(new_p, p), take(new_opt, opt), new_rng), loss
 
         def evaluate(p):
@@ -246,31 +278,68 @@ def _grid_run_fn(sig_cfgs: Tuple[ViTConfig, ...], learning_rate: float,
                     member_masks=mm).reshape(-1)
             return pay
 
-        def epoch_body(carry, chunk):
-            inner, best = carry
+        return one_step, evaluate, payload_of
+
+    DATA = 7   # masks, vols, labels, val_vols, val_labels, val_mask, test
+
+    def init_one(params, *args):
+        data, (rng0,) = args[:DATA], args[DATA:]
+        _, _, payload_of = bind(*data)
+        return dict(params=params, opt=tx.init(params),
+                    rng=jax.random.key_data(rng0),
+                    best=device_best_init(11, data[3].shape[0],
+                                          payload_of(params)))
+
+    def segment_one(carry, *args):
+        data, (idx_seg, msk_seg) = args[:DATA], args[DATA:]
+        one_step, evaluate, payload_of = bind(*data)
+
+        def epoch_body(ecarry, chunk):
+            inner, best = ecarry
             inner, losses = jax.lax.scan(one_step, inner, chunk)
             mvec, probs = evaluate(inner[0])
             best = device_consider(best, mvec, probs, payload_of(inner[0]),
                                    jnp.bool_(False))
             return (inner, best), losses[-1]
 
-        opt = tx.init(params)
-        best0 = device_best_init(11, val_vols.shape[0], payload_of(params))
-        inner0 = (params, opt, jax.random.key_data(rng0))
-        (inner, best), _ = jax.lax.scan(epoch_body, (inner0, best0),
-                                        (idx_all, msk_all))
-        mvec, probs = evaluate(inner[0])
-        best = device_take_if(best, mvec, probs, payload_of(inner[0]),
-                              ~best["found"])
+        inner = (carry["params"], carry["opt"], carry["rng"])
+        (inner, best), _ = jax.lax.scan(epoch_body, (inner, carry["best"]),
+                                        (idx_seg, msk_seg))
+        return dict(params=inner[0], opt=inner[1], rng=inner[2], best=best)
+
+    def finalize_one(carry, *args):
+        data = args[:DATA]
+        _, evaluate, payload_of = bind(*data)
+        mvec, probs = evaluate(carry["params"])
+        best = device_take_if(carry["best"], mvec, probs,
+                              payload_of(carry["params"]),
+                              ~carry["best"]["found"])
         return dict(metrics=best["metrics"], probs=best["probs"],
                     payload=best["payload"])
 
     # inner vmap: folds; outer vmap: combinations.  rng is shared (the
     # sequential mode seeds every (combo, fold) run identically).
-    fold_axes = (None, None, 0, 0, 0, 0, 0, 0, 0, 0, None)
-    combo_axes = (0, 0) + (None,) * 9
-    return jax.jit(jax.vmap(jax.vmap(run_one, in_axes=fold_axes),
-                            in_axes=combo_axes))
+    # NO buffer donation on init (the params stack): donate_argnums on
+    # this program crashed the TPU worker at real scale (observed,
+    # 2026-08-17; fine on CPU).  The segment carry IS donated — it never
+    # outlives the next call.
+    # data arg axes: masks is per-combo; the fold-stacked arrays are
+    # per-fold; the volume/test pools broadcast over combos.
+    data_fold = (None, 0, 0, 0, 0, 0, 0)
+    data_combo = (0,) + (None,) * 6
+
+    def vmapped(fn, first_fold, extra_fold, extra_combo, donate=False):
+        fold_axes = (first_fold,) + data_fold + extra_fold
+        combo_axes = (0,) + data_combo + extra_combo
+        out = jax.vmap(jax.vmap(fn, in_axes=fold_axes), in_axes=combo_axes)
+        return jax.jit(out, donate_argnums=(0,) if donate else ())
+
+    # init's params stack is per-combo only (vmap broadcasts the carry to
+    # the fold axis); the carry thereafter is per-(combo, fold).
+    init_fn = vmapped(init_one, None, (None,), (None,))
+    segment_fn = vmapped(segment_one, 0, (0, 0), (None, None), donate=True)
+    finalize_fn = vmapped(finalize_one, 0, (), (), donate=True)
+    return init_fn, segment_fn, finalize_fn
 
 
 def _member_padder(member_loader: Callable, pad_kwargs: Optional[dict]):
@@ -297,9 +366,16 @@ def _stack_trees(trees: Sequence[dict]):
 
 def _auto_chunk(param_bytes_per_combo: int, n_folds: int,
                 keep_payload: bool) -> int:
-    copies = 5 if keep_payload else 4      # params + m + v + grads (+best)
+    # Measured on the v5e: with remat (members recompute activations in
+    # the backward pass) one (combo, fold) training instance costs ~6x its
+    # param bytes — params + Adam m/v in a double-buffered while carry —
+    # plus grads/updates transients.  keep_payload adds the best-params
+    # copy (also double-buffered).  run_e2e_grid halves the chunk and
+    # retries on compile-time OOM, so this only needs to be a good first
+    # guess.
+    copies = 8 if keep_payload else 6
     per_combo = param_bytes_per_combo * copies * n_folds
-    return int(max(1, min(64, _CHUNK_STATE_BYTES // max(per_combo, 1))))
+    return int(max(1, min(32, _CHUNK_STATE_BYTES // max(per_combo, 1))))
 
 
 def run_e2e_grid(
@@ -326,6 +402,39 @@ def run_e2e_grid(
     combination-chunks from the device-memory budget.  With `mesh`,
     chunks shard over 'model' and folds over 'data'.
     """
+    from vit3d_ensemble_tpu.ops.mlp import (
+        get_default_mlp_impl,
+        set_default_mlp_impl,
+    )
+
+    # The fused Pallas MLP is pinned OFF here: under the grid's double
+    # vmap + nested scans the Pallas path blows up TPU compilation
+    # (compile-time HBM OOM at any chunk size, then a compiler subprocess
+    # crash at chunk 1 — observed 2026-08-17), and XLA's fused FFN is
+    # within ~1.3x anyway at these training shapes.  The global impl is
+    # restored on exit; it also MUST NOT leak into the cached programs
+    # (the jitted closures trace whatever impl is global at first call).
+    prev_impl = get_default_mlp_impl()
+    if prev_impl != "xla":
+        logger.info("e2e grid: forcing mlp_impl=xla (fused kernel is "
+                    "unsupported under the grid's vmap; was %s)", prev_impl)
+        set_default_mlp_impl("xla")
+    try:
+        return _run_e2e_grid(combos, member_loader, data,
+                             num_epochs=num_epochs,
+                             learning_rate=learning_rate, seed=seed,
+                             mesh=mesh, chunk=chunk,
+                             keep_payload=keep_payload,
+                             fold_label=fold_label, on_result=on_result,
+                             pad_kwargs=pad_kwargs)
+    finally:
+        set_default_mlp_impl(prev_impl)
+
+
+def _run_e2e_grid(
+    combos, member_loader, data, *, num_epochs, learning_rate, seed, mesh,
+    chunk, keep_payload, fold_label, on_result, pad_kwargs,
+) -> Dict[str, Dict[str, Dict[str, float]]]:
     F = data.n_folds
     plans = [plan_combo(c) for c in combos]
     by_sig: Dict[Tuple, List[ComboPlan]] = {}
@@ -380,12 +489,14 @@ def run_e2e_grid(
         if mesh is not None:
             cm = mesh.shape["model"]
             csize = max(cm, -(-csize // cm) * cm)
-        run = _grid_run_fn(sig_cfgs, float(learning_rate), keep_payload,
-                           with_test)
+        init_fn, segment_fn, finalize_fn = _grid_programs(
+            sig_cfgs, float(learning_rate), keep_payload, with_test,
+            guarded=not data.uniform_steps)
         logger.info("e2e grid: signature %s — %d combination(s), "
                     "chunk %d", sig, len(sig_plans), csize)
 
-        for lo in range(0, len(sig_plans), csize):
+        lo = 0
+        while lo < len(sig_plans):
             batch_plans = sig_plans[lo:lo + csize]
             pad_c = (csize - len(batch_plans)
                      if mesh is not None and len(batch_plans) % csize
@@ -411,12 +522,32 @@ def run_e2e_grid(
                 params = jax.tree.map(
                     lambda a: jax.device_put(a, combo_sh), params)
                 masks = jax.device_put(masks, combo_sh)
-            out = run(params, masks, fold_arrs["vols"],
-                      fold_arrs["labels"], fold_arrs["val_vols"],
-                      fold_arrs["val_labels"], fold_arrs["val_mask"],
-                      fold_arrs["test_vols"],
-                      fold_arrs["idx_all"], fold_arrs["msk_all"],
-                      jax.random.key(seed))
+            data_args = (masks, fold_arrs["vols"], fold_arrs["labels"],
+                         fold_arrs["val_vols"], fold_arrs["val_labels"],
+                         fold_arrs["val_mask"], fold_arrs["test_vols"])
+            E = data.idx_all.shape[1]
+            try:
+                carry = init_fn(params, *data_args, jax.random.key(seed))
+                for e0 in range(0, E, SEGMENT_EPOCHS):
+                    e1 = min(E, e0 + SEGMENT_EPOCHS)
+                    carry = segment_fn(carry, *data_args,
+                                       fold_arrs["idx_all"][:, e0:e1],
+                                       fold_arrs["msk_all"][:, e0:e1])
+                out = finalize_fn(carry, *data_args)
+            except Exception as exc:  # compile-time HBM OOM: back off
+                msg = str(exc)
+                floor = mesh.shape["model"] if mesh is not None else 1
+                if ("RESOURCE_EXHAUSTED" not in msg
+                        and "Ran out of memory" not in msg) or csize <= floor:
+                    raise
+                csize = max(1, csize // 2)
+                if mesh is not None:
+                    cm = mesh.shape["model"]
+                    csize = max(cm, (csize // cm) * cm)
+                logger.warning("chunk OOM'd; retrying signature %s with "
+                               "chunk %d", sig, csize)
+                continue
+            lo += len(batch_plans)
             metrics = np.asarray(out["metrics"])[:, :F]      # (c, F, 11)
             pay = out["payload"]
             test_probs = (np.asarray(pay["test_probs"])[:, :F]
