@@ -118,6 +118,10 @@ def main():
             def epoch(carry, chunk):
                 inner, acc = carry
                 inner, losses = jax.lax.scan(one_step, inner, chunk)
+                # losses feed the accumulator so fwd_only/no_optimizer
+                # variants (whose params never change) are not dead-code
+                # eliminated with their whole training scan.
+                acc = acc + jnp.sum(losses)
                 if variant in ("no_eval",):
                     return (inner, acc), losses[-1]
                 mvec, _ = evaluate(inner[0])

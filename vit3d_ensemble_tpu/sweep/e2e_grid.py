@@ -396,11 +396,15 @@ def run_e2e_grid(
     """Train every (combination, fold) cell; returns
     {combo_name: {fold_label: {metric: value}}}.
 
-    `on_result(plan, results_for_combo, best_params_per_fold_or_None)` is
-    called once per combination as its chunk completes — the CLI uses it
-    for resume markers and optional checkpoint writes.  `chunk=0` sizes
-    combination-chunks from the device-memory budget.  With `mesh`,
-    chunks shard over 'model' and folds over 'data'.
+    `on_result(plan, results_for_combo, extras)` is called once per
+    combination as its chunk completes — `extras` carries "params" (the
+    per-fold best ensembles, ascending-conf layout; None unless
+    `keep_payload`) and "test_probs" (per-fold held-out probabilities
+    under the best params; None unless `data` has a test split).  The
+    CLIs use it for resume markers, checkpoint writes, and the bootstrap
+    driver's test metrics.  `chunk=0` sizes combination-chunks from the
+    device-memory budget.  With `mesh`, chunks shard over 'model' and
+    folds over 'data'.
     """
     from vit3d_ensemble_tpu.ops.mlp import (
         get_default_mlp_impl,
