@@ -15,6 +15,7 @@
 set -u
 LOG=${LOG:-/tmp/supervised_sweep.log}
 STALL_S=${STALL_S:-720}
+POLL_S=${POLL_S:-60}
 MAX_RESTARTS=${MAX_RESTARTS:-50}
 
 restarts=0
@@ -23,14 +24,14 @@ while true; do
   PID=$!
   echo "supervisor: started pid $PID (restart $restarts)" >> "$LOG"
   while kill -0 "$PID" 2>/dev/null; do
-    sleep 60
+    sleep "$POLL_S"
     now=$(date +%s)
     mtime=$(stat -c %Y "$LOG" 2>/dev/null || echo "$now")
     if [ $((now - mtime)) -gt "$STALL_S" ]; then
       echo "supervisor: no progress for $((now - mtime))s; killing $PID" \
         >> "$LOG"
       kill "$PID" 2>/dev/null
-      sleep 20
+      sleep "${KILL_GRACE_S:-20}"
       kill -9 "$PID" 2>/dev/null
       break
     fi
@@ -47,5 +48,5 @@ while true; do
     exit "$RC"
   fi
   echo "supervisor: restarting after rc=$RC" >> "$LOG"
-  sleep 30
+  sleep "${RESTART_DELAY_S:-30}"
 done

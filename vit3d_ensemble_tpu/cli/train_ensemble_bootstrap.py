@@ -25,7 +25,6 @@ from __future__ import annotations
 import argparse
 import logging
 import os
-from typing import Dict
 
 import numpy as np
 

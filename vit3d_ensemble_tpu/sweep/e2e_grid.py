@@ -48,7 +48,7 @@ import numpy as np
 import optax
 
 from vit3d_ensemble_tpu.configs import ViTConfig, parameters_config
-from vit3d_ensemble_tpu.data import EpochBatcher, SplitArrays
+from vit3d_ensemble_tpu.data import EpochBatcher
 from vit3d_ensemble_tpu.metrics.jax_metrics import compute_eval_metrics
 from vit3d_ensemble_tpu.models import TransformerEnsemble
 from vit3d_ensemble_tpu.sweep.engine import METRIC_KEYS, _metrics_vector
