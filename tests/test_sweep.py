@@ -1,5 +1,7 @@
 """Sweep-engine tests: padding exactness, grouping, vmapped training."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -227,3 +229,40 @@ def test_vmapped_group_training(tiny_group, monkeypatch):
                        tiny_group, 0, img_size=img)
     assert p00["encoder"]["layers"]["block"]["ffn"]["fc1"]["kernel"].shape \
         == (2, 16, 32)
+
+
+def test_remat_group_matches_exact(tiny_group, monkeypatch):
+    """hyper.remat recomputes block activations in the backward pass —
+    results must be identical to the non-remat program."""
+    import vit3d_ensemble_tpu.configs as configs_mod
+
+    from vit3d_ensemble_tpu.data.pool import PooledSplit
+    from vit3d_ensemble_tpu.sweep.engine import (
+        SweepHyper,
+        run_group,
+        stack_folds,
+    )
+
+    monkeypatch.setitem(configs_mod.GRID, 101, (16, 32, 2, 16, 4))
+    monkeypatch.setitem(configs_mod.GRID, 102, (16, 48, 3, 16, 4))
+
+    img = 32
+    rng = np.random.default_rng(7)
+    pool_n = 24
+    labels_pool = np.tile([0, 1], pool_n // 2).astype(np.float32)
+    pool = rng.normal(size=(pool_n, img, img, 5, 1)).astype(np.float32)
+    pool[labels_pool == 1] += 1.0
+    rows = np.arange(pool_n, dtype=np.int32)
+    mean = float(pool.mean())
+    folds = [(PooledSplit(rows[:16], labels_pool[:16], mean),
+              PooledSplit(rows[16:], labels_pool[16:], mean))]
+
+    hyper = SweepHyper(num_steps=10, eval_every=5, train_batch_size=4,
+                       learning_rate=0.05, warmup_steps=4, seed=0)
+    data = stack_folds(pool, folds, hyper)
+    base = run_group(tiny_group, data, hyper, img_size=img)
+    remat = run_group(tiny_group, data,
+                      dataclasses.replace(hyper, remat=True), img_size=img)
+    np.testing.assert_allclose(remat.best_metrics, base.best_metrics,
+                               atol=1e-5)
+    np.testing.assert_allclose(remat.final_loss, base.final_loss, atol=1e-5)

@@ -105,6 +105,13 @@ def add_common_flags(parser: argparse.ArgumentParser,
                              "optimizer + best) every N eval periods for "
                              "preemption recovery; 0 disables (whole group "
                              "is one device program).")
+    parser.add_argument("--remat",
+                        action=argparse.BooleanOptionalAction, default=False,
+                        help="Rematerialize encoder blocks in the backward "
+                             "pass (jax.checkpoint).  Numerics-identical; "
+                             "trades recompute FLOPs for not keeping each "
+                             "layer's saved activations — faster compiles "
+                             "and much lower HBM at these shapes.")
 
 
 def apply_runtime_flags(args) -> None:
