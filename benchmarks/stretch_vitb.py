@@ -45,12 +45,14 @@ def main():
     from vit3d_ensemble_tpu.ops.attention import set_default_attention_impl
 
     iters = 20
-    for impl in ("xla", "pallas"):
-        set_default_mlp_impl(impl)
-        # isolated f32 attention at 513 tokens favors the fused kernel
-        # 1.9x, but in the full bf16 ViT-B forward the end-to-end numbers
-        # are within noise — ViT-B/16's bytes are elsewhere at bf16.
-        set_default_attention_impl(impl)
+    # Measure the full (mlp, attention) impl grid: isolated f32 attention
+    # at 513 tokens favors the fused kernel 1.9x, but the full bf16 ViT-B
+    # forward tells a different story (round-3 bisect of the 735 -> 691
+    # regression: the old harness never set attention_impl).
+    for mlp_impl, attn_impl in (("xla", "xla"), ("pallas", "xla"),
+                                ("pallas", "pallas")):
+        set_default_mlp_impl(mlp_impl)
+        set_default_attention_impl(attn_impl)
 
         # All iterations inside ONE scanned program, each with an
         # input-dependent perturbation — identical repeated dispatches can
@@ -73,7 +75,8 @@ def main():
         t0 = time.perf_counter()
         float(fwd_n(params, x))
         dt = time.perf_counter() - t0
-        print(f"  mlp={impl}: {B * iters / dt:.1f} volumes/s "
+        print(f"  mlp={mlp_impl} attn={attn_impl}: "
+              f"{B * iters / dt:.1f} volumes/s "
               f"({dt / iters * 1e3:.1f} ms/batch-{B})")
 
 

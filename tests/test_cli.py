@@ -74,6 +74,19 @@ def test_cli_baseline_cv_single(synth_root, tmp_path):
     assert set(res) == {"CV 1", "CV 2"}
     assert (out / "cv_baseline_models" / "conf9" / "cv2.msgpack").exists()
 
+    # --aug_mode device through the POOLED sweep engine (--all_configs):
+    # same policy computed on device at pool-build time, no disk aug
+    # folders read
+    res_dev = d.main([
+        "--all_configs", "--num_cv", "2", "--num_steps", "2",
+        "--eval_every", "2", "--warmup_steps", "1",
+        "--aug_mode", "device",
+        *_common(synth_root, tmp_path / "out_dev", "cross_validation"),
+    ])
+    assert set(res_dev) == set(range(1, 19))
+    assert all(np.isfinite(m["AUROC"])
+               for folds in res_dev.values() for m in folds.values())
+
 
 def test_cli_baseline_bootstrap(synth_root, tmp_path):
     from vit3d_ensemble_tpu.cli import train_baseline_bootstrap as d
@@ -142,6 +155,39 @@ def test_cli_ensemble_pipeline(synth_root, tmp_path):
         *_common(synth_root, out, "cross_validation"),
     ])
     assert res_resumed == res_e2e
+
+    # the grid also evaluated each combo on the held-out test split (probs
+    # ride the selection payload) and persisted the metrics in the marker
+    assert (out / "Ensemble_CV_e2e_test.csv").exists()
+    markers = list((out / "sweep_state").glob("e2e_1_2_3_*.json"))
+    assert markers, "e2e resume marker missing"
+    blob = json.loads(markers[0].read_text())
+    assert blob["combo"] == [1, 2, 3]
+    assert np.isfinite(blob["test"]["CV 1"]["AUROC"])
+    assert "val" in blob and "CV 1" in blob["val"]
+
+    # test_cv --all_ensembles ranks e2e-trained combos from those markers
+    # (no per-combo checkpoints needed)
+    res_all, ranking_all = tcv.test_all_ensembles(
+        tcv.build_parser().parse_args([
+            "--all_ensembles", "--max_configs", "4", "--cv", "1",
+            *_common(synth_root, out, "cross_validation"),
+        ]))
+    assert ranking_all[0][0] == "1_2_3"
+    assert res_all["1_2_3"]["CV 1"] == blob["test"]["CV 1"]
+
+    # legacy (val-only) markers from a pre-test-metrics sweep get re-queued
+    # and upgraded in place on --resume (--backfill_test, the default)
+    markers[0].write_text(json.dumps(blob["val"]))
+    res_back = ens_d.main([
+        "--max_configs", "4", "--num_epochs", "2", "--num_cv", "1",
+        "--end_to_end", "--resume", "--save_ensembles", "--workbook",
+        "Ensemble_CV_e2e",
+        *_common(synth_root, out, "cross_validation"),
+    ])
+    assert res_back == res_e2e          # deterministic retrain, same val
+    blob2 = json.loads(markers[0].read_text())
+    assert blob2["test"]["CV 1"] == blob["test"]["CV 1"]
 
     # padded-template e2e: shared compiled program per class-multiset,
     # checkpoints cropped back to true-config shapes

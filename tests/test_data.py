@@ -123,6 +123,56 @@ def test_device_augmentation_mode(synth_dataset):
     assert len(train) == 3 + 3  # hg[::3] -> 1 position x 3 variants
 
 
+def test_pooled_device_augmentation(synth_dataset):
+    """--aug_mode device through the POOLED path (the sweep engines'):
+    same row counts and policy as disk mode, flips bit-exact flipud/fliplr
+    of the originals, rotation deterministic per lesion across folds."""
+    from vit3d_ensemble_tpu.data.pool import (
+        PoolBuilder,
+        pooled_train_split,
+    )
+
+    root, _ = synth_dataset
+    rows = [("P-0001", "HG", "PZ", 2, 4, 1),
+            ("P-0002", "LG", "PZ", 1, 5, 1),
+            ("ProstateX-0179", "HG", "PZ", 3, 4, 1),
+            ("P-0001", "HG", "PZ", 2, 6, 2),
+            ("P-0002", "HG", "PZ", 4, 5, 1)]
+    df = _synth_manifest(rows)
+
+    b_disk = PoolBuilder(str(root), size=8)
+    disk, _ = pooled_train_split(b_disk, df, aug_mode="disk")
+    b_dev = PoolBuilder(str(root), size=8)
+    dev, _ = pooled_train_split(b_dev, df, aug_mode="device")
+    pool = b_dev.build()
+
+    # 4 HG -> hg[::3] picks 2 -> +6 augmented rows, labels match disk mode
+    assert len(dev.row_idx) == len(disk.row_idx) == 5 + 6
+    np.testing.assert_array_equal(dev.labels, disk.labels)
+
+    # flip variants are exact flipud/fliplr of the original volumes
+    orig = pool.volumes[dev.row_idx[:5]]
+    n_aug = 2
+    rot = pool.volumes[dev.row_idx[5:5 + n_aug]]
+    vfl = pool.volumes[dev.row_idx[5 + n_aug:5 + 2 * n_aug]]
+    hfl = pool.volumes[dev.row_idx[5 + 2 * n_aug:]]
+    src = orig[[0, 4]]                   # hg_positions [0,2,3,4][::3]
+    np.testing.assert_array_equal(vfl, src[:, ::-1])
+    np.testing.assert_array_equal(hfl, src[:, :, ::-1])
+    assert rot.shape == src.shape and np.all(np.isfinite(rot))
+
+    # the same lesion gets the same rotation row in a different fold/view
+    dev2, _ = pooled_train_split(b_dev, df.iloc[[0, 4]], aug_mode="device")
+    assert dev2.row_idx[2] == dev.row_idx[5]      # shared rotation row
+
+    # mean over pre-augmentation rows only, same as disk mode
+    b2 = PoolBuilder(str(root), size=8)
+    _, mean_rows_disk = pooled_train_split(b2, df, aug_mode="disk")
+    b3 = PoolBuilder(str(root), size=8)
+    _, mean_rows_dev = pooled_train_split(b3, df, aug_mode="device")
+    np.testing.assert_array_equal(mean_rows_disk, mean_rows_dev)
+
+
 def test_bootstrap_matches_pandas_and_is_deterministic(synth_dataset):
     df = _synth_manifest([("P-0001", "LG", "PZ", 1, i % 6 + 3, 1)
                           for i in range(20)])

@@ -115,7 +115,8 @@ def test_dispatch_impl_flag(rng):
     ctx_xla, probs = att.dot_product_attention(q, q, q, impl="xla",
                                                return_probs=True)
     assert probs is not None and probs.shape == (1, 2, 5, 5)
-    # 'auto' routes tiny heads to the vpu formulation — same results
+    # 'auto' resolves to the einsum (xla) path at every head_dim — the
+    # measured default (ops/attention.py:115-124) — so results match exactly
     ctx_auto, _ = att.dot_product_attention(q, q, q, impl="auto")
     np.testing.assert_allclose(np.asarray(ctx_auto), np.asarray(ctx_xla),
                                atol=2e-6, rtol=1e-5)

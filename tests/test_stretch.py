@@ -44,3 +44,25 @@ def test_volumetric_z_patching_forward(rng):
         dimension_numbers=("NHWDC", "HWDIO", "NHWDC")).reshape(2, 8, 32) + bias
     got = PatchEmbed(cfg).apply({"params": pe_params}, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_qkv_fused_and_unfused_paths_agree(rng, monkeypatch):
+    """The width-conditional QKV formulation (fused (D,3D) matmul at D<=64,
+    separate projections above — models/vit3d._FUSED_QKV_MAX_D) is a pure
+    performance choice: both paths must produce identical logits from the
+    same parameters."""
+    import vit3d_ensemble_tpu.models.vit3d as vit3d_mod
+
+    cfg = ViTConfig(patch_size=(16, 16, 5), hidden_size=32, num_heads=4,
+                    mlp_dim=64, num_layers=2, img_size=32)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 5, 1)).astype(np.float32))
+
+    model = VisionTransformer3D(cfg, zero_head=False, vis=False)
+    params = model.init({"params": jax.random.key(3)}, x)["params"]
+    fused = model.apply({"params": params}, x, deterministic=True).logits
+
+    monkeypatch.setattr(vit3d_mod, "_FUSED_QKV_MAX_D", 0)
+    model2 = VisionTransformer3D(cfg, zero_head=False, vis=False)
+    unfused = model2.apply({"params": params}, x, deterministic=True).logits
+    np.testing.assert_allclose(np.asarray(unfused), np.asarray(fused),
+                               atol=1e-5, rtol=1e-5)

@@ -225,24 +225,78 @@ def test_ensemble(args) -> Dict[str, Dict[str, float]]:
         else:
             raise FileNotFoundError(
                 f"no ensemble checkpoint for {name}: looked for {e2e_path} "
-                f"and {meta_path}")
+                f"and {meta_path}.  The default train_ensemble_cv grid "
+                "mode keeps metrics + resume markers only — pass "
+                "--save_ensembles there to write per-fold e2e checkpoints, "
+                "or use --all_ensembles here to rank from the sweep "
+                "markers directly")
         preds = (probs > 0.5).astype(np.int32)
         res[f"CV {cv + 1}"] = eleven_metrics(test.labels, preds, probs)
     _log_aggregate("Ensemble ViT", res)
     return res
 
 
-def test_all_ensembles(args):
-    """Evaluate every trained meta-head combination on the test split.
+def _e2e_marker_test_results(args):
+    """Held-out test metrics of END-TO-END-trained ensembles, read from the
+    grid sweep's resume markers (train_ensemble_cv grid mode evaluates the
+    test split under each accepted best params during training, so no
+    checkpoints are needed).  Returns {combo_name: {fold: metrics}} or None
+    when no marker carries test metrics."""
+    import glob
+    import json
 
-    The frozen-logit machinery makes this a seconds-long job: the 18
-    members' logits run once per fold normalization, then all C(18,3)
-    combos x cv folds evaluate as one vmapped jitted metrics program
-    (vs the reference's per-combo model rebuild, `test_cv.py:109-189`).
+    state_dir = os.path.join(args.output_dir, "sweep_state")
+    groups: Dict[str, Dict[str, Dict]] = {}
+    legacy = 0
+    for path in sorted(glob.glob(os.path.join(state_dir, "e2e_*.json"))):
+        try:
+            with open(path) as f:
+                blob = json.load(f)
+        except ValueError:
+            continue
+        if not isinstance(blob, dict):
+            continue
+        if "combo" not in blob or "test" not in blob or not blob["test"]:
+            legacy += 1
+            continue
+        if len(blob["test"]) != args.cv:
+            continue        # sweep ran with a different fold count
+        name = "_".join(str(c) for c in blob["combo"])
+        groups.setdefault(blob.get("fingerprint", ""), {})[name] = \
+            blob["test"]
+    if not groups:
+        return None
+    if legacy:
+        logger.warning(
+            "%d e2e sweep markers carry no held-out test metrics (legacy "
+            "val-only schema) and are excluded — re-run train_ensemble_cv "
+            "--resume to backfill them", legacy)
+    fp = max(groups, key=lambda k: len(groups[k]))
+    if len(groups) > 1:
+        logger.warning(
+            "e2e markers from %d different sweep settings found; using the "
+            "largest group (%s, %d combos)", len(groups), fp,
+            len(groups[fp]))
+    return groups[fp]
+
+
+def test_all_ensembles(args):
+    """Rank every trained C(18,3) combination on the held-out test split.
+
+    Two sources, best first:
+      * END-TO-END sweep markers (train_ensemble_cv grid mode): test
+        metrics of the backbone-fine-tuned ensembles, computed during
+        training under each fold's accepted best params — the
+        scientifically right objects to rank (frozen rankings measurably
+        do NOT track e2e rankings; Spearman rho ~ 0, docs/RESULTS.md).
+        Skipped under --ood (markers hold canonical-split metrics only).
+      * frozen meta_heads checkpoints: the 18 members' logits run once per
+        fold normalization, then all combos x folds evaluate as one
+        vmapped jitted metrics program (vs the reference's per-combo model
+        rebuild, `test_cv.py:109-189`).
 
     Returns ({combo_name: {fold: {metric: value}}}, ranking) where ranking
-    is [(combo_name, median_AUROC)] best-first over combos that had a
-    trained meta_heads checkpoint.
+    is [(combo_name, median_AUROC)] best-first.
     """
     import jax
     import jax.numpy as jnp
@@ -254,6 +308,30 @@ def test_all_ensembles(args):
         all_combinations,
         compute_member_logits,
     )
+
+    if not getattr(args, "ood", False):
+        e2e = _e2e_marker_test_results(args)
+        if e2e:
+            ranking = sorted(
+                ((name, float(np.median([f["AUROC"]
+                                         for f in folds.values()])))
+                 for name, folds in e2e.items()),
+                key=lambda t: -t[1])
+            out_path = args.output_path or args.output_dir
+            report = os.path.join(out_path, "Test_All_Ensembles")
+            write_sweep_report(report, e2e)
+            logger.info(
+                "full END-TO-END test ranking written to %s.xlsx / .csv "
+                "(%d combos, from sweep markers)", report, len(e2e))
+            for name, auc in ranking[:10]:
+                logger.info("test median AUROC %.4f  ensemble %s", auc,
+                            name)
+            return e2e, ranking
+        logger.info("no e2e sweep markers with test metrics under %s — "
+                    "falling back to frozen meta_heads checkpoints (NOTE: "
+                    "frozen rankings do not track end-to-end rankings, "
+                    "docs/RESULTS.md)",
+                    os.path.join(args.output_dir, "sweep_state"))
 
     confs = list(range(1, args.max_configs))
     members = {}
@@ -295,8 +373,10 @@ def test_all_ensembles(args):
     if not len(kept):
         raise FileNotFoundError(
             "no trained meta_heads checkpoints found under "
-            f"{args.output_dir}/cv_ensemble_models — run "
-            "train_ensemble_cv first")
+            f"{args.output_dir}/cv_ensemble_models and no e2e sweep "
+            "markers with test metrics — run train_ensemble_cv first "
+            "(default grid mode writes rankable markers; --frozen writes "
+            "meta_heads)")
     if len(kept) < len(combos):
         logger.warning("%d/%d combos have no meta_heads checkpoint and are "
                        "skipped", len(combos) - len(kept), len(combos))

@@ -298,20 +298,17 @@ def run_end_to_end(args):
         loaded = [_load_member(args, c) for c in comb]
         configs = [cfg for cfg, _ in loaded]
         members = [p for _, p in loaded]
-        masks = crop_to = None
-        train_cfgs = configs
         val_results[name], test_results[name] = {}, {}
         for rep in range(args.num_rep):
             train, val, test = _splits_for_rep(args, rep)
             save = ensemble_ckpt_path(args.output_dir, "bootstrap_ensemble",
                                       name, f"bootstrap_{rep}")
-            res = train_ensemble(train_cfgs, members, train, val,
+            res = train_ensemble(configs, members, train, val,
                                  num_epochs=args.num_epochs,
                                  train_batch_size=args.train_batch_size,
                                  learning_rate=args.learning_rate,
                                  seed=args.seed, save_path=save,
-                                 keep_best_params=True,
-                                 member_masks=masks, crop_to=crop_to)
+                                 keep_best_params=True)
             val_results[name][f"boot{rep}"] = dict(res.metrics)
             # held-out test with the best params (testing_model flow,
             # train_ensemble_bootstrap.py:224-254)

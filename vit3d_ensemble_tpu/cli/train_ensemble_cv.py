@@ -100,6 +100,15 @@ def build_parser() -> argparse.ArgumentParser:
                         help="(grid mode) combinations per vmapped chunk; "
                              "0 sizes chunks from the device-memory "
                              "budget.")
+    parser.add_argument("--backfill_test",
+                        action=argparse.BooleanOptionalAction, default=True,
+                        help="(grid mode, --resume) re-queue combinations "
+                             "whose resume markers predate held-out-test "
+                             "evaluation (val-only legacy schema) AFTER all "
+                             "fresh combinations, retraining them to derive "
+                             "their test metrics; --no-backfill_test keeps "
+                             "legacy markers as-is (no test metrics for "
+                             "those combos).")
     parser.add_argument("--random_init_members", action="store_true",
                         help="Use fresh inits for missing baseline ckpts.")
     parser.add_argument("--workbook", default="Ensemble_CV",
@@ -206,12 +215,25 @@ def run_end_to_end_grid(args) -> Dict[str, Dict[str, Dict[str, float]]]:
     """Reference-faithful results, vmapped: the whole (combination, fold)
     grid trains as chunked vmapped programs (`sweep/e2e_grid.py`) — the
     4080-training sweep the reference loops sequentially
-    (`/root/reference/train_ensemble_cv.py:56-85`).  Per-combination resume
-    markers persist as chunks complete; checkpoints are written only with
-    --save_ensembles (4080 files for the full sweep)."""
+    (`/root/reference/train_ensemble_cv.py:56-85`).
+
+    Each combination is ALSO evaluated on the shared held-out test split
+    (normalized per fold with that fold's training mean, the reference's
+    `test_cv.py:46-52` convention): the test probabilities under the
+    accepted best params ride the selection payload, so no checkpoint is
+    ever fetched (`/root/reference/test_cv.py:109-189` is the intent the
+    reference's defect D8 never delivers).  Per-combination resume markers
+    persist val AND test metrics as chunks complete
+    ({"combo", "fingerprint", "val", "test"}); pre-test-metric legacy
+    markers (val-only fold dicts) are re-queued AFTER all fresh
+    combinations when --backfill_test (default) so their test metrics get
+    re-derived by retraining (the grid is deterministic given the seed).
+    Checkpoints are written only with --save_ensembles (4080 files for the
+    full sweep)."""
     import json
     from itertools import combinations as it_combinations
 
+    from vit3d_ensemble_tpu.metrics.host import eleven_metrics
     from vit3d_ensemble_tpu.parallel.mesh import mesh_from_spec
     from vit3d_ensemble_tpu.sweep.e2e_grid import (
         run_e2e_grid,
@@ -228,26 +250,64 @@ def run_end_to_end_grid(args) -> Dict[str, Dict[str, Dict[str, float]]]:
         return os.path.join(state_dir, f"e2e_{name}_{fingerprint}.json")
 
     results: Dict[str, Dict[str, Dict[str, float]]] = {}
-    todo = []
+    test_results: Dict[str, Dict[str, Dict[str, float]]] = {}
+    have_test_csv = os.path.exists(os.path.join(args.csv_path, "test.csv"))
+    todo, backfill = [], []
     for comb in it_combinations(range(1, args.max_configs),
                                 args.combinations):
         name = "_".join(str(c) for c in comb)
         if getattr(args, "resume", False) and os.path.exists(
                 marker_path(name)):
             with open(marker_path(name)) as f:
-                results[name] = json.load(f)
-            logger.info("resume: skipping completed ensemble %s", name)
+                saved = json.load(f)
+            if "val" in saved:
+                results[name] = saved["val"]
+                test_results[name] = saved.get("test", {})
+                logger.info("resume: skipping completed ensemble %s", name)
+            elif have_test_csv and getattr(args, "backfill_test", True):
+                # legacy val-only marker: keep the val metrics but re-queue
+                # (after all fresh combos) to derive the test metrics
+                results[name] = saved
+                backfill.append(comb)
+            else:
+                results[name] = saved
+                logger.info("resume: ensemble %s kept without test metrics "
+                            "(legacy marker; --backfill_test to re-derive)",
+                            name)
         else:
             todo.append(comb)
+    if backfill:
+        logger.info("%d legacy markers queued for test-metric backfill "
+                    "after %d fresh combinations", len(backfill), len(todo))
+    todo += backfill
     if not todo:
-        return results
+        return results, test_results
 
     folds = [build_train_val(
         os.path.join(args.csv_path, f"training_cv{cv + 1}.csv"),
         os.path.join(args.csv_path, f"validation_cv{cv + 1}.csv"),
         args.data_root, aug_mode="none", size=args.img_size)
         for cv in range(args.num_cv)]
-    data = stack_e2e_folds([(t, v) for t, v, _ in folds], args.num_epochs,
+    # shared 22-row test split, normalized per fold with that fold's
+    # training mean (test_cv.py:46-52)
+    import dataclasses
+
+    from vit3d_ensemble_tpu.data import load_split
+
+    test_csv = os.path.join(args.csv_path, "test.csv")
+    test_raw = None
+    if os.path.exists(test_csv):
+        test_raw = load_split(test_csv, args.data_root, size=args.img_size)
+    else:
+        logger.warning("no %s — skipping held-out test evaluation",
+                       test_csv)
+    fold_entries = []
+    for t, v, mean in folds:
+        ts = (dataclasses.replace(
+            test_raw, volumes=test_raw.volumes - np.float32(mean))
+            if test_raw is not None else None)
+        fold_entries.append((t, v, ts))
+    data = stack_e2e_folds(fold_entries, args.num_epochs,
                            args.train_batch_size, args.seed)
     save = getattr(args, "save_ensembles", False)
 
@@ -257,9 +317,20 @@ def run_end_to_end_grid(args) -> Dict[str, Dict[str, Dict[str, float]]]:
                 save_pytree(
                     ensemble_ckpt_path(args.output_dir, "cv_ensemble",
                                        plan.name, f"cv{f + 1}"), params)
+        marker = {"combo": list(plan.confs), "fingerprint": fingerprint,
+                  "val": res}
+        if test_raw is not None:
+            test_results[plan.name] = {}
+            for f in range(args.num_cv):
+                probs = np.asarray(extras["test_probs"][f])
+                preds = (probs > 0.5).astype(np.int32)
+                test_results[plan.name][f"CV {f + 1}"] = {
+                    k: float(v) for k, v in eleven_metrics(
+                        test_raw.labels, preds, probs).items()}
+            marker["test"] = test_results[plan.name]
         tmp = marker_path(plan.name) + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump(res, fh)
+            json.dump(marker, fh)
         os.replace(tmp, marker_path(plan.name))
 
     results.update(run_e2e_grid(
@@ -268,7 +339,7 @@ def run_end_to_end_grid(args) -> Dict[str, Dict[str, Dict[str, float]]]:
         seed=args.seed, mesh=mesh_from_spec(getattr(args, "mesh", None)),
         chunk=getattr(args, "e2e_chunk", 0), keep_payload=save,
         on_result=on_result))
-    return results
+    return results, test_results
 
 
 def run_end_to_end(args) -> Dict[str, Dict[str, Dict[str, float]]]:
@@ -310,19 +381,16 @@ def run_end_to_end(args) -> Dict[str, Dict[str, Dict[str, float]]]:
         loaded = [_load_member(args, c) for c in comb]
         configs = [cfg for cfg, _ in loaded]
         members = [p for _, p in loaded]
-        masks = crop_to = None
-        train_cfgs = configs
         results[name] = {}
         for cv, (t, v, _) in enumerate(folds):
             save = ensemble_ckpt_path(args.output_dir, "cv_ensemble", name,
                                       f"cv{cv + 1}")
-            res = train_ensemble(train_cfgs, members, t, v,
+            res = train_ensemble(configs, members, t, v,
                                  num_epochs=args.num_epochs,
                                  train_batch_size=args.train_batch_size,
                                  learning_rate=args.learning_rate,
                                  seed=args.seed, save_path=save,
-                                 keep_best_params=False,
-                                 member_masks=masks, crop_to=crop_to)
+                                 keep_best_params=False)
             results[name][f"CV {cv + 1}"] = dict(res.metrics)
             logger.info("ensemble %s cv%d AUROC %.4f", name, cv + 1,
                         res.metrics["AUROC"])
@@ -342,9 +410,17 @@ def main(argv=None):
     if args.frozen and args.end_to_end:
         raise SystemExit("--frozen and --end_to_end are mutually exclusive")
     results = run_frozen(args) if args.frozen else run_end_to_end(args)
+    test_results = None
+    if isinstance(results, tuple):      # grid mode: (val, held-out test)
+        results, test_results = results
     report = os.path.join(args.output_dir, args.workbook)
     write_sweep_report(report, results)
     logger.info("report written to %s.xlsx / .csv", report)
+    test_results = {k: v for k, v in (test_results or {}).items() if v}
+    if test_results:
+        write_sweep_report(report + "_test", test_results)
+        logger.info("held-out test report written to %s_test.xlsx / .csv "
+                    "(%d combinations)", report, len(test_results))
     return results
 
 

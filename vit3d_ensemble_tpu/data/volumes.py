@@ -75,6 +75,13 @@ def _patient_stack(data_root: str, patient: str, aug_folder: str,
             imgs.append(np.load(path))
         else:
             imgs.append(np.asarray(Image.open(path)))
+        if imgs[-1].shape[:2] != (size, size):
+            # the native decoder rejects off-size images (volume_loader.cpp
+            # expected_size check); fail as loudly here instead of letting
+            # the (size, size, 5, 1) volume assembly throw a shape error
+            raise ValueError(
+                f"slice {path} is {imgs[-1].shape[:2]}, expected "
+                f"({size}, {size})")
     return np.stack(imgs), names
 
 

@@ -7,6 +7,7 @@ test, Mann-Whitney U, and the histogram/box plots (saved to files).
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Dict, Mapping, Sequence
 
@@ -101,5 +102,7 @@ def compute_statistics(res_base: Mapping[str, Mapping[str, float]],
             fig.savefig(os.path.join(output_path, "box_plot.png"))
             plt.close(fig)
         except Exception:  # plotting is best-effort; stats are the contract
-            pass
+            logging.getLogger(__name__).warning(
+                "statistics plots could not be written to %s", output_path,
+                exc_info=True)
     return results

@@ -110,6 +110,13 @@ class _ProjParams(nn.Module):
                                tuple(self.features))
 
 
+#: Widths at or below this use the fused (D, 3D) QKV matmul (MXU N-tile
+#: pricing makes it ~free at the reference's D in {16,32,64}); above it the
+#: three projections stay separate (the runtime concat only adds HBM
+#: traffic once D fills the MXU — measured at D=768, docs/RESULTS.md).
+_FUSED_QKV_MAX_D = 64
+
+
 class Attention(nn.Module):
     """Multi-head self-attention (`modeling.py:55-99`)."""
 
@@ -124,15 +131,31 @@ class Attention(nn.Module):
             (H, head_dim), D, torch_linear_kernel_init,
             torch_linear_bias_init(D), name=name)
         q_p, k_p, v_p = proj("query"), proj("key"), proj("value")
-        qkv_kernel = jnp.concatenate(
-            [p.kernel.reshape(D, D) for p in (q_p, k_p, v_p)], axis=1)
-        qkv_bias = jnp.concatenate(
-            [p.bias.reshape(D) for p in (q_p, k_p, v_p)])
-        qkv = x @ qkv_kernel + qkv_bias                      # (B, T, 3D)
         B, T = x.shape[0], x.shape[1]
-        # (B, T, 3, H, hd) -> (3, B, H, T, hd)
-        qkv = qkv.reshape(B, T, 3, H, head_dim).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        if D <= _FUSED_QKV_MAX_D:
+            # Fused QKV: one (D, 3D) matmul.  At the reference's tiny
+            # widths (D in {16,32,64}) the MXU prices an N=16..64 output
+            # tile the same as N=128, so fusing the three projections is
+            # ~free FLOPs — measured +1.5% headline (docs/RESULTS.md).
+            qkv_kernel = jnp.concatenate(
+                [p.kernel.reshape(D, D) for p in (q_p, k_p, v_p)], axis=1)
+            qkv_bias = jnp.concatenate(
+                [p.bias.reshape(D) for p in (q_p, k_p, v_p)])
+            qkv = x @ qkv_kernel + qkv_bias                  # (B, T, 3D)
+            # (B, T, 3, H, hd) -> (3, B, H, T, hd)
+            qkv = qkv.reshape(B, T, 3, H, head_dim).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+        else:
+            # At large D the N-tile pricing argument vanishes (D >= 128
+            # already fills the MXU) and the runtime concatenate only adds
+            # 6*D^2 bytes of HBM traffic per layer — a measured ~6%
+            # regression on the D=768 stretch model (735 -> 691 vol/s,
+            # round 2).  Keep the three projections separate.
+            def apply_proj(p):
+                y = x @ p.kernel.reshape(D, D) + p.bias.reshape(D)
+                return y.reshape(B, T, H, head_dim).transpose(0, 2, 1, 3)
+
+            q, k, v = apply_proj(q_p), apply_proj(k_p), apply_proj(v_p)
 
         drop_rate = cfg.attention_dropout_rate
         rng = None

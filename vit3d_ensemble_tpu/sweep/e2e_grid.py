@@ -491,8 +491,11 @@ def _run_e2e_grid(
                           jax.tree.leaves(template))
         csize = chunk or _auto_chunk(param_bytes, F_pad, keep_payload)
         if mesh is not None:
+            # round DOWN to a 'model'-axis multiple: rounding up can nearly
+            # double the per-chunk HBM footprint the budget was sized for,
+            # and an HBM OOM can crash the TPU worker (see _CHUNK_STATE_BYTES)
             cm = mesh.shape["model"]
-            csize = max(cm, -(-csize // cm) * cm)
+            csize = max(cm, (csize // cm) * cm)
         init_fn, segment_fn, finalize_fn = _grid_programs(
             sig_cfgs, float(learning_rate), keep_payload, with_test,
             guarded=not data.uniform_steps)
@@ -502,9 +505,20 @@ def _run_e2e_grid(
         lo = 0
         while lo < len(sig_plans):
             batch_plans = sig_plans[lo:lo + csize]
-            pad_c = (csize - len(batch_plans)
-                     if mesh is not None and len(batch_plans) % csize
-                     else 0)
+            # Pad the tail chunk to the full csize whenever a csize-wide
+            # program exists (or will) for this signature, so every chunk
+            # reuses one compiled program — each distinct remainder width
+            # would otherwise cost a fresh 1-3 min cold compile through the
+            # tunnel.  A signature smaller than one chunk compiles exactly
+            # once either way, so it runs unpadded (mesh still needs the
+            # combo axis divisible by the 'model' axis).
+            if len(batch_plans) % csize and len(sig_plans) > csize:
+                pad_c = csize - len(batch_plans)
+            elif mesh is not None and len(batch_plans) % mesh.shape["model"]:
+                cm = mesh.shape["model"]
+                pad_c = -(-len(batch_plans) // cm) * cm - len(batch_plans)
+            else:
+                pad_c = 0
             padded_plans = batch_plans + [batch_plans[0]] * pad_c
             stacked, masks = [], []
             for p in padded_plans:

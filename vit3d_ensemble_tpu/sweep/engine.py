@@ -472,12 +472,10 @@ def sweep_hyper_from_args(args, balanced_weights: bool = True) -> SweepHyper:
 
 
 def sweep_aug_mode(args) -> str:
-    """Pooled sweeps support disk/none augmentation; reject 'device' loudly
-    rather than silently training un-augmented."""
-    if args.aug_mode == "device":
-        raise ValueError(
-            "--aug_mode device is not supported by the pooled sweep engine "
-            "(use the single-config path, or --aug_mode disk/none)")
+    """All three aug modes run through the pooled sweeps: 'disk' reads the
+    precomputed folders, 'device' computes the same three variants on
+    device at pool-build time (PoolBuilder.device_aug_row — no aug folders
+    needed on disk), 'none' skips augmentation."""
     return args.aug_mode
 
 
