@@ -31,6 +31,72 @@ def test_fused_attention_matches_einsum(shape, rng):
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("B,T,D,H", [
+    (3, 65, 64, 4),      # conf 1-3 class (hd 16)
+    (2, 65, 32, 8),      # (32, 8) class (hd 4)
+    (2, 65, 16, 16),     # (16, 16) class (hd 1)
+    (2, 5, 32, 4),       # tiny sequence (32px test volumes)
+])
+def test_fused_attention_layer_matches_reference(B, T, D, H, rng):
+    """The whole-sublayer kernel (QKV -> softmax -> out) vs the same math
+    composed from the einsum path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vit3d_ensemble_tpu.ops.pallas_attention_layer import (
+        fused_attention_layer,
+    )
+
+    h = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    wqkv = jnp.asarray(rng.normal(size=(D, 3 * D)).astype(np.float32)) * 0.3
+    bqkv = jnp.asarray(rng.normal(size=(3 * D,)).astype(np.float32)) * 0.1
+    wout = jnp.asarray(rng.normal(size=(D, D)).astype(np.float32)) * 0.3
+    bout = jnp.asarray(rng.normal(size=(D,)).astype(np.float32)) * 0.1
+
+    hd = D // H
+    qkv = h @ wqkv + bqkv
+    split = lambda a: a.reshape(B, T, H, hd).transpose(0, 2, 1, 3)  # noqa
+    q, k, v = (split(qkv[..., i * D:(i + 1) * D]) for i in range(3))
+    ctx, _ = dot_product_attention(q, k, v, impl="xla")
+    ref = ctx.transpose(0, 2, 1, 3).reshape(B, T, D) @ wout + bout
+
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_attention_layer(h, wqkv, bqkv, wout, bout, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_attention_layer_impl_end_to_end(rng):
+    """impl='layer' produces the einsum path's logits through the full
+    model (deterministic, vis off), and training/vis paths degrade to the
+    einsum formulation rather than the kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vit3d_ensemble_tpu.configs import ViTConfig
+    from vit3d_ensemble_tpu.models import VisionTransformer3D
+    from vit3d_ensemble_tpu.ops import attention as att
+
+    cfg = ViTConfig(patch_size=(16, 16, 5), hidden_size=32, num_heads=8,
+                    mlp_dim=64, num_layers=2, img_size=32)
+    model = VisionTransformer3D(cfg, zero_head=False, vis=False)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 5, 1)).astype(np.float32))
+    params = model.init({"params": jax.random.key(5)}, x)["params"]
+    ref = model.apply({"params": params}, x, deterministic=True).logits
+
+    att.set_default_attention_impl("layer")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = model.apply({"params": params}, x,
+                              deterministic=True).logits
+        # the non-deterministic (training) path must not hit the kernel
+        tr = model.apply({"params": params}, x, deterministic=False,
+                         rngs={"dropout": jax.random.key(0)}).logits
+        assert np.all(np.isfinite(np.asarray(tr)))
+    finally:
+        att.set_default_attention_impl("auto")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_fused_attention_gradients_match(rng):
     from jax.experimental.pallas import tpu as pltpu
 

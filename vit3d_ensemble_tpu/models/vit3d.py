@@ -131,6 +131,35 @@ class Attention(nn.Module):
             (H, head_dim), D, torch_linear_kernel_init,
             torch_linear_bias_init(D), name=name)
         q_p, k_p, v_p = proj("query"), proj("key"), proj("value")
+        out_p = _DenseParams(D, D, torch_linear_kernel_init,
+                             torch_linear_bias_init(D), name="out")
+        drop_rate = cfg.attention_dropout_rate
+
+        from vit3d_ensemble_tpu.ops.attention import (
+            get_default_attention_impl,
+        )
+
+        if (get_default_attention_impl() == "layer" and not return_probs
+                and deterministic):
+            # strictly inference: the kernel defines no VJP (training keeps
+            # the einsum path, where XLA's backward is already the floor)
+            # whole-sublayer fused kernel: QKV proj -> per-head softmax
+            # attention -> out proj in one VMEM residency
+            # (`ops/pallas_attention_layer.py`); output dropout is inactive
+            # on this path (deterministic, and the reference's attention
+            # dropout is 0.0 in every config — tools.py:93).
+            from vit3d_ensemble_tpu.ops.pallas_attention_layer import (
+                fused_attention_layer,
+            )
+
+            wqkv = jnp.concatenate(
+                [p.kernel.reshape(D, D) for p in (q_p, k_p, v_p)], axis=1)
+            bqkv = jnp.concatenate(
+                [p.bias.reshape(D) for p in (q_p, k_p, v_p)])
+            out = fused_attention_layer(x, wqkv, bqkv, out_p.kernel,
+                                        out_p.bias, H)
+            return out, None
+
         B, T = x.shape[0], x.shape[1]
         if D <= _FUSED_QKV_MAX_D:
             # Fused QKV: one (D, 3D) matmul.  At the reference's tiny
@@ -157,7 +186,6 @@ class Attention(nn.Module):
 
             q, k, v = apply_proj(q_p), apply_proj(k_p), apply_proj(v_p)
 
-        drop_rate = cfg.attention_dropout_rate
         rng = None
         if drop_rate > 0.0 and not deterministic:
             rng = self.make_rng("dropout")
@@ -169,12 +197,7 @@ class Attention(nn.Module):
             return_probs=return_probs,
         )
         context = context.transpose(0, 2, 1, 3).reshape(x.shape[:-1] + (D,))
-        out = nn.Dense(
-            D,
-            kernel_init=torch_linear_kernel_init,
-            bias_init=torch_linear_bias_init(D),
-            name="out",
-        )(context)
+        out = out_p(context)
         out = nn.Dropout(rate=drop_rate)(out, deterministic=deterministic)
         return out, probs
 

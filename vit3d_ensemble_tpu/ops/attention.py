@@ -49,11 +49,22 @@ _VPU_MAX_HEAD_DIM = 16
 
 
 def set_default_attention_impl(impl: str) -> None:
-    """Select the process-wide default attention implementation."""
+    """Select the process-wide default attention implementation.
+
+    'layer' is the whole-sublayer fused kernel (QKV -> softmax -> out in
+    one VMEM residency, `ops/pallas_attention_layer.py`); it dispatches in
+    `models/vit3d.Attention` (the sublayer owns the projection weights) and
+    only on the deterministic, probs-free path — anywhere else it degrades
+    to the einsum formulation below.
+    """
     global _DEFAULT_IMPL
-    if impl not in ("auto", "xla", "vpu", "pallas"):
+    if impl not in ("auto", "xla", "vpu", "pallas", "layer"):
         raise ValueError(f"unknown attention impl: {impl!r}")
     _DEFAULT_IMPL = impl
+
+
+def get_default_attention_impl() -> str:
+    return _DEFAULT_IMPL
 
 
 def _xla_attention(q, k, v, dropout_rng, dropout_rate, deterministic,
@@ -112,6 +123,10 @@ def dot_product_attention(
       probs (..., num_heads, seq, seq) or None.
     """
     impl = impl or _DEFAULT_IMPL
+    if impl == "layer":
+        # the fused sublayer kernel was not applicable at the call site
+        # (training / vis mode); its math degrades to the einsum path
+        impl = "xla"
     if impl == "auto":
         # Measured (v5e, B=512, bf16, 18-model bench, 2026-08-16): at the
         # 65-token tiny-head regime the XLA einsum path beats every
