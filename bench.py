@@ -42,6 +42,14 @@ def main() -> None:
     # fused VMEM-resident FFN kernel: the (tokens, mlp_dim) intermediate —
     # the model's dominant HBM traffic and VPU time — never leaves the chip.
     set_default_mlp_impl("pallas")
+    # attention impl A/B knob (BENCH_ATTENTION_IMPL=layer|xla|...):
+    # 'layer' is the whole-sublayer fused kernel (ops/pallas_attention_layer)
+    import os
+
+    from vit3d_ensemble_tpu.ops.attention import set_default_attention_impl
+
+    set_default_attention_impl(os.environ.get("BENCH_ATTENTION_IMPL",
+                                              "auto"))
 
     B = 512          # volumes per step; all 18 models see every volume.
     #                  Measured sweep at exact shapes: 128 -> 5390,

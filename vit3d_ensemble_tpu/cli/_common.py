@@ -71,14 +71,17 @@ def add_common_flags(parser: argparse.ArgumentParser,
                         help="Augmentation source: precomputed folders "
                              "(reference parity) or on-device transforms.")
     parser.add_argument("--attention_impl",
-                        choices=["auto", "xla", "vpu", "pallas"],
+                        choices=["auto", "xla", "vpu", "pallas", "layer"],
                         default="auto",
                         help="Attention path: 'auto'/'xla' = the einsum "
                              "path (measured fastest end-to-end at the "
                              "65-token regime); 'vpu' = broadcast-"
                              "multiply-reduce contractions (experiments); "
                              "'pallas' = the fused VMEM kernel, which "
-                             "wins 1.9x at the 513-token stretch regime.")
+                             "wins 1.9x at the 513-token stretch regime; "
+                             "'layer' = the whole-sublayer fused kernel "
+                             "(QKV->softmax->out in one VMEM residency; "
+                             "inference paths only).")
     parser.add_argument("--mlp_impl", choices=["xla", "pallas"],
                         default="xla",
                         help="FFN path: XLA matmuls or the fused Pallas "
