@@ -120,6 +120,36 @@ def test_grid_matches_sequential(setup):
                     f"vs sequential {want}")
 
 
+def test_grid_tail_chunk_padding_matches_unchunked(setup):
+    """When a signature spans multiple chunks, the tail chunk is padded
+    with duplicate plans to the compiled chunk width (one program per
+    signature, no per-remainder recompiles) — results must equal the
+    single-chunk run, with no phantom combinations."""
+    import dataclasses
+
+    cfgs, members, folds = setup
+    cfgs = dict(cfgs)
+    members = dict(members)
+    # a second (32, 8)-class member so one signature has 4 combinations
+    cfgs[5] = dataclasses.replace(cfgs[2], mlp_dim=32, num_layers=2)
+    members[5] = init_baseline(cfgs[5], seed=5)[1]
+
+    combos = [(1, 2), (2, 4), (1, 5), (4, 5)]   # all ((32,8),(64,4))
+    loader = lambda c: (cfgs[c], members[c])  # noqa: E731
+    data = stack_e2e_folds(folds, EPOCHS, 4, SEED)
+    assert len({signature_of(plan_combo(c)) for c in combos}) == 1
+    one = run_e2e_grid(combos, loader, data, num_epochs=EPOCHS,
+                       learning_rate=LR, seed=SEED, pad_kwargs=PAD)
+    chunked = run_e2e_grid(combos, loader, data, num_epochs=EPOCHS,
+                           learning_rate=LR, seed=SEED, pad_kwargs=PAD,
+                           chunk=3)             # 3 + tail(1) padded to 3
+    assert set(chunked) == set(one)
+    for name, per_fold in one.items():
+        for fl, m in per_fold.items():
+            for k, v in m.items():
+                assert chunked[name][fl][k] == pytest.approx(v, abs=2e-4)
+
+
 def test_grid_payload_layout(setup):
     """keep_payload returns best params in ascending-conf slot order with
     true member shapes (the sequential checkpoint layout)."""
