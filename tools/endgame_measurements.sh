@@ -1,0 +1,26 @@
+#!/usr/bin/env bash
+# End-of-round measurement queue — run ONLY on a quiet chip (kill the
+# sweep supervisor BY PID first).  Each step is timeout-bounded so one
+# hung RPC cannot eat the remaining round time.
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH=/root/repo:/root/.axon_site
+LOGDIR=${LOGDIR:-/tmp/endgame}
+mkdir -p "$LOGDIR"
+
+echo "=== 1/4 headline bench, current default impl ==="
+timeout 900 python bench.py 2>&1 | tee "$LOGDIR/bench_default.log" | tail -1
+
+echo "=== 2/4 headline bench, fused-layer attention ==="
+BENCH_ATTENTION_IMPL=layer timeout 1500 python bench.py 2>&1 \
+  | tee "$LOGDIR/bench_layer.log" | tail -1
+
+echo "=== 3/4 stretch (mlp, attention) impl grid ==="
+timeout 1800 python -u benchmarks/stretch_vitb.py 2>&1 \
+  | tee "$LOGDIR/stretch_grid.log" | tail -4
+
+echo "=== 4/4 grid dropout-stream deviation (10 combos x 5 folds) ==="
+timeout 3000 python -u benchmarks/grid_dropout_deviation.py --n_combos 10 \
+  2>&1 | tee "$LOGDIR/dropout_dev.log" | tail -3
+
+echo "=== done; logs in $LOGDIR ==="
