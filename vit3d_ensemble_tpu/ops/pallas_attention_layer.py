@@ -1,33 +1,37 @@
-"""Whole-sublayer fused attention kernel: QKV proj -> scores -> softmax ->
-context -> out proj, one VMEM residency per volume block.
+"""Per-volume fused attention-core kernel: scores -> softmax -> context
+for ALL heads of a block of volumes in one VMEM residency.
 
 The round-2 bound on the headline bench (docs/RESULTS.md "The attention
-24%"): at the reference regime (65 tokens, head_dim 1..16, B=512 bf16) the
-attention sublayer's cost is NOT FLOPs but the HBM round-trips of the
-per-op intermediates — q/k/v, the (B*H, 65, 65) scores and probs with the
-65-token minor dim padded to 128 lanes, and the context — between ops XLA
-cannot fuse through.  Three narrower attacks (impl='vpu', the MXU-batched
-kernel, the VPU-formulation attention-only kernel) all lost end-to-end:
-the first still materializes scores in HBM, the other two do 1-3 us of
-work per grid step so per-step overhead dominates.
+24%"): at the reference regime (65 tokens, head_dim 1..16, B=512 bf16)
+the attention sublayer's cost is NOT FLOPs but the HBM round-trips of the
+(B*H, 65, 65) scores/probs — padded to 128 lanes — between ops XLA cannot
+fuse through.  Three narrower attacks all lost end-to-end: impl='vpu'
+still materializes scores in HBM; the MXU-batched kernel burns 128^3
+passes per tiny dot; the per-head-block VPU kernel
+(`pallas_attention._tiny_attention_kernel`) does 1-3 us of work per grid
+step, so step overhead dominates.
 
-This kernel removes ALL of those round-trips at once and amortizes the
-step overhead: each grid step loads a block of NB volumes' LN-normed
-tokens (NB, 65, D), runs the QKV matmul (MXU), per-head VPU attention
-(broadcast-FMA scores in the natural orientation, f32 softmax, masked
-lane-reduction context — the formulation validated in
-`ops/pallas_attention._tiny_attention_kernel`), and the output projection
-(MXU), writing only the (NB, 65, D) sublayer output.  HBM traffic per
-layer drops from ~(4 passes x B*H*72*128 f32 scores) + qkv/ctx to
-2 x B*65*D — the input and output blocks — and per-step work is the whole
-sublayer for NB volumes (>= 30 us), not one op.
+This kernel keeps that tiny kernel's VPU formulation — broadcast-FMA
+scores in the natural orientation, f32 softmax, masked lane-reduction
+context rows — but blocks by VOLUME, processing every head of NB=64
+volumes per grid step (>= 30 us of work, the threshold the round-2
+analysis set).  The scores/probs tensors never exist in HBM; what
+remains are the q / k^T|v^T inputs and the ctx^T output, each
+volume-sized (65 x D), ~16x smaller than one padded scores pass at
+D=16.  The QKV and output projections stay in XLA, where the MXU path
+is already the measured floor, and the k/v transpose + ctx^T transpose
+are relayouts XLA folds into the adjacent matmuls.
 
-Inference-only by design: the reference's attention dropout is 0.0 in
+Deliberately NO in-kernel reshape/transpose: Mosaic rejects shape casts
+whose collapsed sublane dim (65 tokens) is not tile-aligned (verified:
+`tpu.reshape (64x65x16) -> (4160x16)` fails "unsupported shape cast"),
+so the kernel only lane-slices q and sublane-slices k^T/v^T — the access
+patterns the round-2 tiny kernel already proved on this toolchain.
+
+Inference-only (no VJP): the reference's attention dropout is 0.0 in
 every config (`tools.py:93`), probs are not materialized (vis mode falls
-back), and training keeps the einsum path (backward through the fused
-layer would recompute anyway).  Dispatch: `ops.attention` impl 'layer'
-(`models/vit3d.Attention` routes the whole sublayer here when
-deterministic).
+back), and training keeps the einsum path.  Dispatch: attention impl
+'layer' (`models/vit3d.Attention`), deterministic probs-free paths only.
 """
 
 from __future__ import annotations
@@ -40,57 +44,74 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: Volumes per grid step.  VMEM check at the worst class (D=64, 3D=192):
-#: qkv (NB, 65, 192) f32 = 3.2 MB + scores/probs (NB, 65, 65) f32 ~1 MB
-#: + ctxT (NB, 64, 65) f32 ~1 MB + double-buffered bf16 in/out blocks
-#: (NB, 65, 64) ~0.5 MB x4 — comfortably inside 16 MB.
+#: Volumes per grid step.  VMEM at the worst class (D=64, H=4, T=65):
+#: q (64, 65, 64) bf16 0.5 MB + kvT (64, 128, 65) bf16 1 MB + oT
+#: (64, 64, 65) 0.5 MB (each double-buffered) + scores/probs
+#: (64, 65, 65->128 lanes) f32 ~4 MB live — inside the ~16 MB budget.
 NB_BLOCK = 64
 
 
-def _attn_layer_kernel(h_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref,
-                       ctxT_ref, *, n_heads: int, head_dim: int,
-                       scale: float):
-    NB, T, D = h_ref.shape
-    h = h_ref[...]
-
-    # QKV projection: one MXU dot for the whole block.
-    qkv = jax.lax.dot_general(
-        h.reshape(NB * T, D), wqkv_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[...]).reshape(NB, T, 3 * D)
-
+def _attn_core_kernel(q_ref, kvT_ref, oT_ref, *, n_heads: int,
+                      head_dim: int, scale: float):
+    """q_ref (NB, T, D); kvT_ref (NB, 2D, T) = [k^T | v^T]; oT_ref
+    (NB, D, T) = ctx^T."""
+    D = n_heads * head_dim
+    q = q_ref[...]
+    kvT = kvT_ref[...]
     for head in range(n_heads):
         lo = head * head_dim
-        q = qkv[:, :, lo:lo + head_dim]                       # (NB, T, hd)
-        kT = jnp.swapaxes(qkv[:, :, D + lo:D + lo + head_dim], 1, 2)
-        vT = jnp.swapaxes(qkv[:, :, 2 * D + lo:2 * D + lo + head_dim], 1, 2)
-        # scores in the natural orientation: i on sublanes (from q's lane
-        # slices), j on lanes (from kT's sublane slices) — hd FMA passes.
-        scores = q[:, :, 0:1] * kT[:, 0:1, :]
+        # scores: i on sublanes (q lane slices), j on lanes (k^T rows)
+        scores = (q[:, :, lo:lo + 1].astype(jnp.float32)
+                  * kvT[:, lo:lo + 1, :].astype(jnp.float32))
         for d in range(1, head_dim):
-            scores += q[:, :, d:d + 1] * kT[:, d:d + 1, :]
-        scores *= scale                                       # (NB, T, T)
+            scores += (q[:, :, lo + d:lo + d + 1].astype(jnp.float32)
+                       * kvT[:, lo + d:lo + d + 1, :].astype(jnp.float32))
+        scores *= scale                                  # (NB, T, T)
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
-        # context rows: hd lane reductions, written as ctx^T sublane rows.
         for d in range(head_dim):
-            ctxT_ref[:, lo + d, :] = jnp.sum(
-                p * vT[:, d:d + 1, :], axis=-1)
-
-    ctx = jnp.swapaxes(ctxT_ref[...], 1, 2)                   # (NB, T, D)
-    out = jax.lax.dot_general(
-        ctx.astype(h.dtype).reshape(NB * T, D), wo_ref[...],
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    out = out + bo_ref[...]
-    o_ref[...] = out.reshape(NB, T, D).astype(o_ref.dtype)
+            vrow = kvT[:, D + lo + d:D + lo + d + 1, :].astype(jnp.float32)
+            oT_ref[:, lo + d, :] = jnp.sum(p * vrow, axis=-1).astype(
+                oT_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n_heads",))
+def _attention_core(q: jax.Array, kvT: jax.Array, n_heads: int,
+                    head_dim: int) -> jax.Array:
+    """(B, T, D), (B, 2D, T) -> ctx^T (B, D, T)."""
+    B, T, D = q.shape
+    scale = 1.0 / math.sqrt(head_dim)
+    nb = min(NB_BLOCK, B)
+    B_pad = -(-B // nb) * nb
+    if B_pad != B:
+        q = jnp.pad(q, [(0, B_pad - B), (0, 0), (0, 0)])
+        kvT = jnp.pad(kvT, [(0, B_pad - B), (0, 0), (0, 0)])
+
+    oT = pl.pallas_call(
+        functools.partial(_attn_core_kernel, n_heads=n_heads,
+                          head_dim=head_dim, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B_pad, D, T), q.dtype),
+        grid=(B_pad // nb,),
+        in_specs=[pl.BlockSpec((nb, T, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((nb, 2 * D, T), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((nb, D, T), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B_pad * n_heads * T * T * head_dim,
+            bytes_accessed=4 * B_pad * T * D * q.dtype.itemsize,
+            transcendentals=B_pad * n_heads * T * T,
+        ),
+    )(q, kvT)
+    return oT[:B]
+
+
 def fused_attention_layer(h: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
                           wout: jax.Array, bout: jax.Array,
                           n_heads: int) -> jax.Array:
-    """The whole attention sublayer (sans LN and residual) as one kernel.
+    """The attention sublayer (sans LN and residual): XLA MXU projections
+    around the VMEM-resident attention core.
 
     h: (B, T, D) LN-normed tokens; wqkv (D, 3D) / bqkv (3D,) the fused
     q|k|v projection; wout (D, D) / bout (D,).  Returns (B, T, D) — the
@@ -98,32 +119,9 @@ def fused_attention_layer(h: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
     """
     B, T, D = h.shape
     head_dim = D // n_heads
-    scale = 1.0 / math.sqrt(head_dim)
-
-    nb = min(NB_BLOCK, B)
-    B_pad = -(-B // nb) * nb
-    if B_pad != B:
-        h = jnp.pad(h, [(0, B_pad - B), (0, 0), (0, 0)])
-
-    grid = (B_pad // nb,)
-    blk = pl.BlockSpec((nb, T, D), lambda i: (i, 0, 0),
-                       memory_space=pltpu.VMEM)
-    const2 = lambda s: pl.BlockSpec(s, lambda i: (0, 0),  # noqa: E731
-                                    memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_attn_layer_kernel, n_heads=n_heads,
-                          head_dim=head_dim, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((B_pad, T, D), h.dtype),
-        grid=grid,
-        in_specs=[blk, const2((D, 3 * D)), const2((1, 3 * D)),
-                  const2((D, D)), const2((1, D))],
-        out_specs=blk,
-        scratch_shapes=[pltpu.VMEM((nb, D, T), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
-            flops=(2 * B_pad * T * D * 4 * D            # qkv + out proj
-                   + 2 * 2 * B_pad * n_heads * T * T * head_dim),
-            bytes_accessed=2 * B_pad * T * D * h.dtype.itemsize,
-            transcendentals=B_pad * n_heads * T * T,
-        ),
-    )(h, wqkv, bqkv.reshape(1, 3 * D), wout, bout.reshape(1, D))
-    return out[:B]
+    qkv = h @ wqkv + bqkv                                # (B, T, 3D)
+    q = qkv[..., :D]
+    kvT = jnp.swapaxes(qkv[..., D:], 1, 2)               # (B, 2D, T)
+    ctxT = _attention_core(q, kvT, n_heads, head_dim)
+    ctx = jnp.swapaxes(ctxT, 1, 2)                       # (B, T, D)
+    return ctx @ wout + bout
