@@ -1,0 +1,62 @@
+"""tools/analyze_e2e_sweep.py: marker parsing + ranking math.
+
+The analyzer turns the grid sweep's resume markers into the flagship
+numbers RESULTS.md reports (full ranking, paper-default placement,
+val-vs-test agreement) — so its marker-schema handling (current
+{"combo","val","test"} blobs AND legacy val-only fold dicts) is
+load-bearing for the scientific output.
+"""
+
+import importlib.util
+import json
+import os
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_spec = importlib.util.spec_from_file_location(
+    "analyze_e2e_sweep", os.path.join(REPO, "tools", "analyze_e2e_sweep.py"))
+analyze = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(analyze)
+
+
+def _folds(auroc_by_fold):
+    return {f"CV {i + 1}": {"AUROC": a, "Accuracy": 0.5}
+            for i, a in enumerate(auroc_by_fold)}
+
+
+def test_load_markers_both_schemas(tmp_path):
+    state = tmp_path / "sweep_state"
+    state.mkdir()
+    # current schema: combo + val + test
+    (state / "e2e_1_2_3_5cv_100ep_4b_0.0001lr_42s_grid.json").write_text(
+        json.dumps({"combo": [1, 2, 3], "fingerprint": "x",
+                    "val": _folds([0.6, 0.7, 0.8]),
+                    "test": _folds([0.5, 0.55, 0.65])}))
+    # current schema, no test metrics yet
+    (state / "e2e_2_3_4_5cv_100ep_4b_0.0001lr_42s_grid.json").write_text(
+        json.dumps({"combo": [2, 3, 4], "fingerprint": "x",
+                    "val": _folds([0.9, 0.9, 0.9]), "test": None}))
+    # legacy schema: bare {fold: metrics} dict, combo in the filename
+    (state / "e2e_5_9_11_5cv_100ep_4b_0.0001lr_42s.json").write_text(
+        json.dumps(_folds([0.4, 0.5, 0.6])))
+    # junk that must not crash the parse
+    (state / "e2e_bad.json").write_text("not json")
+
+    val, test, legacy = analyze.load_markers(str(tmp_path))
+    assert set(val) == {"1_2_3", "2_3_4", "5_9_11"}
+    assert set(test) == {"1_2_3"}
+    assert legacy == 1
+    assert np.isclose(analyze.median_metric(val["1_2_3"], "AUROC"), 0.7)
+    assert np.isclose(analyze.median_metric(test["1_2_3"], "AUROC"), 0.55)
+
+
+def test_ranking_and_rank_of():
+    val = {"1_2_3": _folds([0.6, 0.7, 0.8]),
+           "2_3_4": _folds([0.9, 0.9, 0.9]),
+           "5_9_11": _folds([0.4, 0.5, 0.6])}
+    rank = sorted(((n, analyze.median_metric(f, "AUROC"))
+                   for n, f in val.items()), key=lambda t: -t[1])
+    assert [n for n, _ in rank] == ["2_3_4", "1_2_3", "5_9_11"]
+    assert analyze.rank_of(rank, "5_9_11") == 3
+    assert analyze.rank_of(rank, "9_9_9") is None

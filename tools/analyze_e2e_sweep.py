@@ -26,8 +26,11 @@ def load_markers(output_dir: str):
     legacy = 0
     for path in sorted(glob.glob(
             os.path.join(output_dir, "sweep_state", "e2e_*.json"))):
-        with open(path) as f:
-            blob = json.load(f)
+        try:
+            with open(path) as f:
+                blob = json.load(f)
+        except ValueError:
+            continue        # markers are written atomically; skip junk
         if isinstance(blob, dict) and "val" in blob:
             name = "_".join(str(c) for c in blob["combo"])
             val[name] = blob["val"]
@@ -61,6 +64,9 @@ def main():
     val, test, legacy = load_markers(args.output_dir)
     print(f"{len(val)} combinations with val metrics "
           f"({legacy} legacy markers), {len(test)} with test metrics")
+    if not val:
+        print("no e2e sweep markers found — nothing to rank")
+        return
 
     val_rank = sorted(((n, median_metric(f, args.metric))
                        for n, f in val.items()), key=lambda t: -t[1])
