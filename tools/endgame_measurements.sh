@@ -20,7 +20,7 @@ timeout 1800 python -u benchmarks/stretch_vitb.py 2>&1 \
   | tee "$LOGDIR/stretch_grid.log" | tail -4
 
 echo "=== 4/4 grid dropout-stream deviation (10 combos x 5 folds) ==="
-timeout 3000 python -u benchmarks/grid_dropout_deviation.py --n_combos 10 \
+timeout 3600 python -u benchmarks/grid_dropout_deviation.py --n_combos 10 \
   2>&1 | tee "$LOGDIR/dropout_dev.log" | tail -3
 
 echo "=== done; logs in $LOGDIR ==="

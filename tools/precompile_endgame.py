@@ -1,0 +1,128 @@
+"""Warm the persistent XLA cache for the end-of-round measurement queue.
+
+AOT .lower().compile() (no execution, no output fetch) of every program
+`tools/endgame_measurements.sh` will run: the 18 exact-shape bench
+programs under each attention impl to measure, and the stretch ViT-B
+(mlp, attention) grid.  Compilation is worker-host CPU work, so it can
+overlap a running sweep's device executions; executions tonight then hit
+`~/.cache/vit3d_tpu_xla` warm instead of paying 18+ cold compiles inside
+the measurement window.
+
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/precompile_endgame.py
+"""
+
+from __future__ import annotations
+
+import time
+
+
+def bench_programs(attn_impl: str) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vit3d_ensemble_tpu.configs import ViTConfig
+    from vit3d_ensemble_tpu.models import VisionTransformer3D
+    from vit3d_ensemble_tpu.ops.attention import set_default_attention_impl
+    from vit3d_ensemble_tpu.ops.mlp import set_default_mlp_impl
+
+    set_default_mlp_impl("pallas")
+    set_default_attention_impl(attn_impl)
+
+    B, iters = 512, 20
+    x = jax.ShapeDtypeStruct((B, 128, 128, 5, 1), jnp.bfloat16)
+    for conf in range(1, 19):
+        cfg = ViTConfig.from_conf(conf)
+        model = VisionTransformer3D(cfg, zero_head=True, vis=False)
+        params = jax.eval_shape(
+            lambda m=model, c=cfg: jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16),
+                m.init({"params": jax.random.key(42)},
+                       jnp.zeros((1, c.img_size, c.img_size, c.z_size,
+                                  c.in_channels), jnp.float32))["params"]))
+
+        def fwd_n(p, vols, model=model):
+            def body(acc, i):
+                vi = vols * (1.0 + i.astype(vols.dtype) * 1e-6)
+                out = model.apply({"params": p}, vi,
+                                  deterministic=True).logits
+                return acc + jnp.sum(out), None
+
+            acc, _ = jax.lax.scan(body, jnp.bfloat16(0.0),
+                                  jnp.arange(iters))
+            return acc
+
+        t0 = time.perf_counter()
+        jax.jit(fwd_n).lower(params, x).compile()
+        print(f"  bench conf{conf} attn={attn_impl}: "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
+
+
+def stretch_programs() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from vit3d_ensemble_tpu.configs import vit_b16_128cubed
+    from vit3d_ensemble_tpu.models import VisionTransformer3D
+    from vit3d_ensemble_tpu.ops.attention import set_default_attention_impl
+    from vit3d_ensemble_tpu.ops.mlp import set_default_mlp_impl
+
+    cfg = vit_b16_128cubed()
+    model = VisionTransformer3D(cfg, zero_head=True, vis=False)
+    B, iters = 8, 20
+    x = jax.ShapeDtypeStruct((B, 128, 128, 128, 1), jnp.bfloat16)
+    params = jax.eval_shape(
+        lambda: jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16),
+            model.init({"params": jax.random.key(0)},
+                       jnp.zeros((1, 128, 128, 128, 1),
+                                 jnp.bfloat16))["params"]))
+
+    for mlp_impl, attn_impl in (("xla", "xla"), ("pallas", "xla"),
+                                ("pallas", "pallas")):
+        set_default_mlp_impl(mlp_impl)
+        set_default_attention_impl(attn_impl)
+
+        def fwd_n(p, v):
+            def body(acc, i):
+                vi = v * (1.0 + i.astype(v.dtype) * 1e-6)
+                out = model.apply({"params": p}, vi,
+                                  deterministic=True).logits
+                return acc + jnp.sum(out), None
+
+            acc, _ = jax.lax.scan(body, jnp.bfloat16(0.0),
+                                  jnp.arange(iters))
+            return acc
+
+        t0 = time.perf_counter()
+        jax.jit(fwd_n).lower(params, x).compile()
+        print(f"  stretch mlp={mlp_impl} attn={attn_impl}: "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
+
+
+def main() -> None:
+    import argparse
+
+    from vit3d_ensemble_tpu.cli._common import setup_jax_cache
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="",
+                    help="comma list: bench-auto,bench-layer,stretch")
+    args = ap.parse_args()
+    only = set(filter(None, args.only.split(",")))
+    setup_jax_cache()
+
+    if not only or "bench-auto" in only:
+        print("bench programs, default impl", flush=True)
+        bench_programs("auto")
+    if not only or "bench-layer" in only:
+        print("bench programs, fused-layer attention", flush=True)
+        bench_programs("layer")
+    if not only or "stretch" in only:
+        print("stretch impl grid", flush=True)
+        stretch_programs()
+    print("precompile done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
