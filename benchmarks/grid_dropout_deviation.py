@@ -60,6 +60,10 @@ def main():
                     default="/root/reference/csv_files/cross_validation")
     ap.add_argument("--data_root", default="/root/reference/dataset")
     ap.add_argument("--n_combos", type=int, default=10)
+    ap.add_argument("--combos", default="",
+                    help="comma list of combo names (e.g. 1_2_3,5_9_11) "
+                         "to compare instead of the spread sample — for "
+                         "reproducing a reported run exactly")
     ap.add_argument("--num_cv", type=int, default=5)
     ap.add_argument("--num_epochs", type=int, default=100)
     ap.add_argument("--seed", type=int, default=42)
@@ -78,10 +82,16 @@ def main():
     markers = load_markers(args.output_dir)
     if not markers:
         raise SystemExit(f"no e2e markers under {args.output_dir}")
-    # spread the sample across the marker list (diverse class signatures)
-    names = list(markers)
-    take = [names[i] for i in
-            np.linspace(0, len(names) - 1, args.n_combos).astype(int)]
+    if args.combos:
+        take = args.combos.split(",")
+        missing = [n for n in take if n not in markers]
+        if missing:
+            raise SystemExit(f"no grid marker for: {missing}")
+    else:
+        # spread the sample across the marker list (diverse signatures)
+        names = list(markers)
+        take = [names[i] for i in
+                np.linspace(0, len(names) - 1, args.n_combos).astype(int)]
     print(f"{len(markers)} grid markers; comparing {len(take)}: {take}")
 
     folds = [build_train_val(
