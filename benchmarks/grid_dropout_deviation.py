@@ -37,14 +37,32 @@ from vit3d_ensemble_tpu.data import build_train_val
 from vit3d_ensemble_tpu.sweep.engine import METRIC_KEYS
 
 
+def default_deviation_combos(n: int, max_configs: int = 19,
+                             k: int = 3) -> list:
+    """The n combos the benchmark compares by default: spread evenly over
+    the FULL sorted combination list (marker-filename order), independent
+    of how many markers exist yet — so `tools/precompile_endgame.py` can
+    warm exactly these sequential training programs while the sweep is
+    still running."""
+    from itertools import combinations as it_combinations
+
+    names = sorted("_".join(str(c) for c in comb) for comb in
+                   it_combinations(range(1, max_configs), k))
+    return [names[i] for i in
+            np.linspace(0, len(names) - 1, n).astype(int)]
+
+
 def load_markers(output_dir: str):
     """{combo_name: {fold: {metric: value}}} for every e2e marker (both
     schemas), in marker-name order."""
     out = {}
     for path in sorted(glob.glob(
             os.path.join(output_dir, "sweep_state", "e2e_*.json"))):
-        with open(path) as f:
-            blob = json.load(f)
+        try:
+            with open(path) as f:
+                blob = json.load(f)
+        except ValueError:
+            continue        # markers are written atomically; skip junk
         val = blob.get("val", blob) if isinstance(blob, dict) else None
         if not val or "CV 1" not in val:
             continue
@@ -88,10 +106,16 @@ def main():
         if missing:
             raise SystemExit(f"no grid marker for: {missing}")
     else:
-        # spread the sample across the marker list (diverse signatures)
-        names = list(markers)
-        take = [names[i] for i in
-                np.linspace(0, len(names) - 1, args.n_combos).astype(int)]
+        # deterministic spread over the FULL sorted combination list
+        # (diverse signatures; precompile_endgame warms exactly these);
+        # with an incomplete sweep, fall back to the available markers
+        take = [n for n in default_deviation_combos(args.n_combos)
+                if n in markers]
+        if len(take) < args.n_combos:
+            names = list(markers)
+            take = [names[i] for i in
+                    np.linspace(0, len(names) - 1,
+                                min(args.n_combos, len(names))).astype(int)]
     print(f"{len(markers)} grid markers; comparing {len(take)}: {take}")
 
     folds = [build_train_val(
@@ -105,8 +129,28 @@ def main():
                                   f"conf{conf}")
         return cfg, load_baseline_params(path, cfg)
 
+    # ~70 s/combination: flush a partial file after EVERY combo and
+    # resume from it, so a timeout/outage mid-run costs one combo, not
+    # the whole ~hour (advisor round-3 medium finding).
+    partial_path = args.out_json + ".partial"
+    run_tag = dict(num_epochs=args.num_epochs, seed=args.seed,
+                   num_cv=args.num_cv)
     seq = {}
+    if os.path.exists(partial_path):
+        try:
+            with open(partial_path) as f:
+                prev = json.load(f)
+            if prev.get("run_tag") == run_tag:
+                seq = {n: r for n, r in prev.get("sequential", {}).items()
+                       if n in take}
+                if seq:
+                    print(f"resuming: {len(seq)} combo(s) already "
+                          f"measured in {partial_path}")
+        except ValueError:
+            pass
     for name in take:
+        if name in seq:
+            continue
         confs = [int(c) for c in name.split("_")]
         loaded = [member(c) for c in confs]
         seq[name] = {}
@@ -118,7 +162,13 @@ def main():
             seq[name][f"CV {cv + 1}"] = dict(res.metrics)
             print(f"  {name} cv{cv + 1} AUROC "
                   f"{res.metrics['AUROC']:.4f} (grid "
-                  f"{markers[name][f'CV {cv + 1}']['AUROC']:.4f})")
+                  f"{markers[name][f'CV {cv + 1}']['AUROC']:.4f})",
+                  flush=True)
+        os.makedirs(os.path.dirname(partial_path), exist_ok=True)
+        tmp = partial_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(dict(run_tag=run_tag, sequential=seq), f)
+        os.replace(tmp, partial_path)
 
     # per-metric per-cell deltas
     deltas = {k: [] for k in METRIC_KEYS}

@@ -156,6 +156,28 @@ def test_cli_ensemble_pipeline(synth_root, tmp_path):
     ])
     assert res_resumed == res_e2e
 
+    # --state_mirror: resume survives total loss of the marker directory
+    # (the container-reset scenario) by rehydrating from the in-repo
+    # mirror — no retraining happens (num_epochs would otherwise matter)
+    mirror_path = tmp_path / "mirror" / "e2e.jsonl"
+    ens_d.main([
+        "--max_configs", "4", "--num_epochs", "2", "--num_cv", "1",
+        "--end_to_end", "--resume", "--state_mirror", str(mirror_path),
+        "--workbook", "Ensemble_CV_e2e",
+        *_common(synth_root, out, "cross_validation"),
+    ])
+    assert mirror_path.exists()          # snapshot taken via append/restore
+    import shutil as _sh
+
+    _sh.rmtree(out / "sweep_state")
+    res_mirrored = ens_d.main([
+        "--max_configs", "4", "--num_epochs", "2", "--num_cv", "1",
+        "--end_to_end", "--resume", "--state_mirror", str(mirror_path),
+        "--workbook", "Ensemble_CV_e2e",
+        *_common(synth_root, out, "cross_validation"),
+    ])
+    assert res_mirrored == res_e2e
+
     # the grid also evaluated each combo on the held-out test split (probs
     # ride the selection payload) and persisted the metrics in the marker
     assert (out / "Ensemble_CV_e2e_test.csv").exists()

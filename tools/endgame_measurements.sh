@@ -20,7 +20,14 @@ timeout 1800 python -u benchmarks/stretch_vitb.py 2>&1 \
   | tee "$LOGDIR/stretch_grid.log" | tail -4
 
 echo "=== 4/4 grid dropout-stream deviation (10 combos x 5 folds) ==="
-timeout 3600 python -u benchmarks/grid_dropout_deviation.py --n_combos 10 \
-  2>&1 | tee "$LOGDIR/dropout_dev.log" | tail -3
+# flushes a .partial file after every combo and resumes from it, so the
+# timeout bounds one run, not the result; two bounded passes beat one
+# long one on this tunnel (a hung RPC wastes the whole window otherwise)
+for _pass in 1 2; do
+  timeout 3600 python -u benchmarks/grid_dropout_deviation.py \
+    --n_combos 10 --out_json docs/grid_dropout_deviation.json \
+    2>&1 | tee -a "$LOGDIR/dropout_dev.log" | tail -3
+  [ -f docs/grid_dropout_deviation.json ] && break
+done
 
 echo "=== done; logs in $LOGDIR ==="

@@ -52,7 +52,18 @@ def bench_programs(attn_impl: str) -> None:
                                   jnp.arange(iters))
             return acc
 
+        def init(model=model, c=cfg):
+            dummy = jnp.zeros((1, c.img_size, c.img_size, c.z_size,
+                               c.in_channels), jnp.float32)
+            return model.init({"params": jax.random.key(42)},
+                              dummy)["params"]
+
         t0 = time.perf_counter()
+        # bench.py compiles BOTH programs per config: the f32 init (its
+        # dummy forward traces the same impl settings) and the scanned
+        # inference body (advisor round-3: the inits were the unwarmed
+        # cold compiles inside the bench timeout window).
+        jax.jit(init).lower().compile()
         jax.jit(fwd_n).lower(params, x).compile()
         print(f"  bench conf{conf} attn={attn_impl}: "
               f"{time.perf_counter() - t0:.1f}s", flush=True)
@@ -100,6 +111,56 @@ def stretch_programs() -> None:
               f"{time.perf_counter() - t0:.1f}s", flush=True)
 
 
+def deviation_programs(n_combos: int = 10) -> None:
+    """Warm the SEQUENTIAL ensemble training programs the dropout-
+    deviation benchmark will run (advisor round-3: these were the unwarmed
+    cold compiles that could blow its timeout).  The benchmark's default
+    combo sample is deterministic (`default_deviation_combos`), so the
+    exact programs are known before it runs: one
+    `_ensemble_run_fn((cfg1, cfg2, cfg3), 1e-4, False)` per distinct
+    combo config-tuple at the CV fold shapes (72 train / 18 val,
+    100 epochs, B=4)."""
+    import os
+    import sys
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from benchmarks.grid_dropout_deviation import default_deviation_combos
+    from vit3d_ensemble_tpu.configs import ViTConfig
+    from vit3d_ensemble_tpu.models import TransformerEnsemble
+    from vit3d_ensemble_tpu.train.ensemble_trainer import _ensemble_run_fn
+
+    E, S, B, N, V = 100, 18, 4, 72, 18
+    f32 = jnp.float32
+    for name in default_deviation_combos(n_combos):
+        cfgs = tuple(ViTConfig.from_conf(int(c)) for c in name.split("_"))
+        model = TransformerEnsemble(cfgs)
+        c0 = cfgs[0]
+        dummy = jax.ShapeDtypeStruct((1, c0.img_size, c0.img_size,
+                                      c0.z_size, c0.in_channels), f32)
+        pshapes = jax.eval_shape(
+            lambda d: model.init({"params": jax.random.key(0)}, d)["params"],
+            dummy)
+        run = _ensemble_run_fn(cfgs, 1e-4, False)
+        vol = (N,) + dummy.shape[1:]
+        t0 = _t.perf_counter()
+        run.lower(
+            pshapes,
+            jax.ShapeDtypeStruct(vol, f32),
+            jax.ShapeDtypeStruct((N,), f32),
+            jax.ShapeDtypeStruct((V,) + dummy.shape[1:], f32),
+            jax.ShapeDtypeStruct((V,), f32),
+            jax.ShapeDtypeStruct((E, S, B), jnp.int32),
+            jax.ShapeDtypeStruct((E, S, B), f32),
+            jax.random.key(42), ()).compile()
+        print(f"  deviation {name}: {_t.perf_counter() - t0:.1f}s",
+              flush=True)
+
+
 def main() -> None:
     import argparse
 
@@ -107,7 +168,8 @@ def main() -> None:
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default="",
-                    help="comma list: bench-auto,bench-layer,stretch")
+                    help="comma list: bench-auto,bench-layer,stretch,"
+                         "deviation")
     args = ap.parse_args()
     only = set(filter(None, args.only.split(",")))
     setup_jax_cache()
@@ -121,6 +183,9 @@ def main() -> None:
     if not only or "stretch" in only:
         print("stretch impl grid", flush=True)
         stretch_programs()
+    if not only or "deviation" in only:
+        print("dropout-deviation sequential training programs", flush=True)
+        deviation_programs()
     print("precompile done", flush=True)
 
 

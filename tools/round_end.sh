@@ -1,0 +1,99 @@
+#!/usr/bin/env bash
+# Single-entry round-end protocol: stop the sweep cleanly, verify the
+# chip answers, mirror sweep state into the repo, run the measurement
+# queue, and print the flagship analysis — logging exactly what it
+# skipped if a step fails.  Safe to re-run; every step is idempotent or
+# timeout-bounded.
+#
+#   tools/round_end.sh                 # full protocol
+#   RESTART_SWEEP=1 tools/round_end.sh # restart the sweep afterwards
+#
+# Steps:
+#   0  stop the sweep supervisor + client BY PID (never by pattern)
+#   1  chip probe: tiny jitted fetch, retried up to PROBE_MAX_S —
+#      survives the observed TPU-worker outage mode (~55 min; RPCs time
+#      out while jax.devices() still answers)
+#   2  mirror sweep_state -> docs/sweep_mirror_r4.jsonl (reset-durable)
+#   3  tools/endgame_measurements.sh (each sub-step timeout-bounded)
+#   4  tools/analyze_e2e_sweep.py -> docs/e2e_sweep_analysis.txt
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH=/root/repo:/root/.axon_site
+LOGDIR=${LOGDIR:-/tmp/endgame}
+SUP_PIDFILE=${SUP_PIDFILE:-/tmp/sweep_supervisor.pid}
+OUTPUT_DIR=${OUTPUT_DIR:-/root/outputs/full_e2e}
+MIRROR=${MIRROR:-docs/sweep_mirror_r4.jsonl}
+PROBE_MAX_S=${PROBE_MAX_S:-4500}
+mkdir -p "$LOGDIR"
+note() { echo "[round_end $(date -u +%H:%M:%S)] $*"; }
+
+# --- 0: stop the sweep (supervisor first, then its client child) ------
+if [ -f "$SUP_PIDFILE" ] && kill -0 "$(cat "$SUP_PIDFILE")" 2>/dev/null; then
+  SUP=$(cat "$SUP_PIDFILE")
+  CHILD=$(ps -o pid= --ppid "$SUP" | head -1 | tr -d ' ')
+  note "stopping sweep supervisor $SUP (child ${CHILD:-none})"
+  kill "$SUP" 2>/dev/null
+  sleep 2
+  [ -n "${CHILD:-}" ] && kill "$CHILD" 2>/dev/null
+  sleep 10
+  [ -n "${CHILD:-}" ] && kill -9 "$CHILD" 2>/dev/null
+else
+  note "no running sweep supervisor (ok)"
+fi
+
+# --- 1: chip probe with outage-mode patience --------------------------
+note "probing the chip (a tiny fetch; outage mode waits, max ${PROBE_MAX_S}s)"
+t0=$(date +%s)
+until timeout 120 python - <<'EOF'
+import jax, jax.numpy as jnp
+print(float(jax.jit(lambda x: (x * 2).sum())(jnp.ones(8))))
+EOF
+do
+  now=$(date +%s)
+  if [ $((now - t0)) -gt "$PROBE_MAX_S" ]; then
+    note "SKIPPED measurements: chip did not answer within ${PROBE_MAX_S}s"
+    exit 2
+  fi
+  note "chip not answering; retrying in 60s"
+  sleep 60
+done
+note "chip is quiet and answering"
+
+# --- 2: durable state mirror ------------------------------------------
+if python tools/mirror_sweep_state.py --state_dir "$OUTPUT_DIR/sweep_state" \
+     --mirror "$MIRROR"; then
+  note "sweep state mirrored -> $MIRROR ($(wc -l < "$MIRROR") lines)"
+else
+  note "SKIPPED mirror (non-fatal)"
+fi
+
+# --- 3: measurement queue ---------------------------------------------
+if bash tools/endgame_measurements.sh; then
+  note "measurement queue complete; logs in $LOGDIR"
+else
+  note "measurement queue exited non-zero; partial logs in $LOGDIR"
+fi
+
+# --- 4: flagship analysis ---------------------------------------------
+if timeout 300 python tools/analyze_e2e_sweep.py \
+     --output_dir "$OUTPUT_DIR" | tee docs/e2e_sweep_analysis.txt; then
+  note "analysis -> docs/e2e_sweep_analysis.txt"
+else
+  note "SKIPPED analysis (analyzer failed)"
+fi
+
+# --- optional: restart the sweep --------------------------------------
+if [ "${RESTART_SWEEP:-0}" = "1" ]; then
+  note "restarting the sweep with --resume"
+  export LOG=${LOG:-/tmp/full_e2e_r4.log}
+  nohup bash tools/supervised_sweep.sh \
+    python -u -m vit3d_ensemble_tpu.cli.train_ensemble_cv --resume \
+    --state_mirror "/root/repo/$MIRROR" \
+    --csv_path /root/reference/csv_files/cross_validation \
+    --data_root /root/reference/dataset \
+    --output_dir "$OUTPUT_DIR" \
+    > /dev/null 2>&1 &
+  echo $! > "$SUP_PIDFILE"
+  note "sweep supervisor restarted: pid $(cat "$SUP_PIDFILE")"
+fi
+note "round-end protocol done"

@@ -109,6 +109,15 @@ def build_parser() -> argparse.ArgumentParser:
                              "their test metrics; --no-backfill_test keeps "
                              "legacy markers as-is (no test metrics for "
                              "those combos).")
+    parser.add_argument("--state_mirror", default=None, metavar="PATH",
+                        help="(grid mode) durable JSONL mirror of the "
+                             "resume markers: every completed combination "
+                             "is appended to PATH, and --resume rehydrates "
+                             "missing markers from it first.  Point it "
+                             "inside the git worktree so a container reset "
+                             "(which destroys --output_dir) can no longer "
+                             "zero a multi-hour sweep "
+                             "(sweep/state_mirror.py).")
     parser.add_argument("--random_init_members", action="store_true",
                         help="Use fresh inits for missing baseline ckpts.")
     parser.add_argument("--workbook", default="Ensemble_CV",
@@ -246,6 +255,18 @@ def run_end_to_end_grid(args) -> Dict[str, Dict[str, Dict[str, float]]]:
     # sequential padded mode's, so their markers must not mix.
     fingerprint = _e2e_fingerprint(args, "_grid")
 
+    mirror = getattr(args, "state_mirror", None)
+    if mirror:
+        from vit3d_ensemble_tpu.sweep import state_mirror
+
+        # two-way startup sync: rehydrate markers a container reset
+        # destroyed, then fold pre-existing markers into the mirror (so
+        # adding the flag mid-sweep immediately protects completed work);
+        # thereafter every fresh marker is appended as it lands.
+        if getattr(args, "resume", False):
+            state_mirror.restore(mirror, state_dir)
+        state_mirror.snapshot(state_dir, mirror)
+
     def marker_path(name: str) -> str:
         return os.path.join(state_dir, f"e2e_{name}_{fingerprint}.json")
 
@@ -332,6 +353,9 @@ def run_end_to_end_grid(args) -> Dict[str, Dict[str, Dict[str, float]]]:
         with open(tmp, "w") as fh:
             json.dump(marker, fh)
         os.replace(tmp, marker_path(plan.name))
+        if mirror:
+            state_mirror.append(
+                mirror, os.path.basename(marker_path(plan.name)), marker)
 
     results.update(run_e2e_grid(
         todo, lambda c: _load_member(args, c), data,
