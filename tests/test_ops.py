@@ -67,8 +67,9 @@ def test_fused_attention_layer_matches_reference(B, T, D, H, rng):
 
 def test_attention_layer_impl_end_to_end(rng):
     """impl='layer' produces the einsum path's logits through the full
-    model (deterministic, vis off), and training/vis paths degrade to the
-    einsum formulation rather than the kernel."""
+    model — deterministic AND training mode (attention dropout is 0.0, so
+    the kernel path consumes the identical dropout stream); the vis path
+    degrades to the einsum formulation rather than the kernel."""
     from jax.experimental.pallas import tpu as pltpu
 
     from vit3d_ensemble_tpu.configs import ViTConfig
@@ -81,20 +82,59 @@ def test_attention_layer_impl_end_to_end(rng):
     x = jnp.asarray(rng.normal(size=(2, 32, 32, 5, 1)).astype(np.float32))
     params = model.init({"params": jax.random.key(5)}, x)["params"]
     ref = model.apply({"params": params}, x, deterministic=True).logits
+    tr_ref = model.apply({"params": params}, x, deterministic=False,
+                         rngs={"dropout": jax.random.key(0)}).logits
 
     att.set_default_attention_impl("layer")
     try:
         with pltpu.force_tpu_interpret_mode():
             got = model.apply({"params": params}, x,
                               deterministic=True).logits
-        # the non-deterministic (training) path must not hit the kernel
-        tr = model.apply({"params": params}, x, deterministic=False,
-                         rngs={"dropout": jax.random.key(0)}).logits
-        assert np.all(np.isfinite(np.asarray(tr)))
+            tr = model.apply({"params": params}, x, deterministic=False,
+                             rngs={"dropout": jax.random.key(0)}).logits
+        # vis mode (probs requested) must not take the kernel
+        vmodel = VisionTransformer3D(cfg, zero_head=False, vis=True)
+        vout = vmodel.apply({"params": params}, x, deterministic=True)
+        assert vout.attn_weights is not None
     finally:
         att.set_default_attention_impl("auto")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(tr), np.asarray(tr_ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_fused_attention_layer_gradients_match(rng):
+    """The layer kernel's custom VJP (recompute-through-XLA) equals the
+    einsum formulation's gradients for every input and weight."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vit3d_ensemble_tpu.ops.pallas_attention_layer import (
+        _reference_attention_layer,
+        fused_attention_layer,
+    )
+
+    B, T, D, H = 2, 65, 32, 8
+    h = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    wqkv = jnp.asarray(rng.normal(size=(D, 3 * D)).astype(np.float32)) * .3
+    bqkv = jnp.asarray(rng.normal(size=(3 * D,)).astype(np.float32)) * .1
+    wout = jnp.asarray(rng.normal(size=(D, D)).astype(np.float32)) * .3
+    bout = jnp.asarray(rng.normal(size=(D,)).astype(np.float32)) * .1
+
+    # compare the VJPs under one FIXED cotangent (a squared-loss grad
+    # check would amplify the kernel's ~2e-6 forward float difference
+    # through the cotangent and swamp the tolerance)
+    g = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        _, vjp_k = jax.vjp(lambda *a: fused_attention_layer(*a, H),
+                           h, wqkv, bqkv, wout, bout)
+        g_kernel = vjp_k(g)
+    _, vjp_r = jax.vjp(lambda *a: _reference_attention_layer(*a, H),
+                       h, wqkv, bqkv, wout, bout)
+    g_ref = vjp_r(g)
+    for a, b in zip(g_kernel, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4)
 
 
 def test_fused_attention_gradients_match(rng):

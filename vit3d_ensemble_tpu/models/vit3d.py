@@ -140,14 +140,15 @@ class Attention(nn.Module):
         )
 
         if (get_default_attention_impl() == "layer" and not return_probs
-                and deterministic):
-            # strictly inference: the kernel defines no VJP (training keeps
-            # the einsum path, where XLA's backward is already the floor)
+                and (deterministic or drop_rate == 0.0)):
             # whole-sublayer fused kernel: QKV proj -> per-head softmax
             # attention -> out proj in one VMEM residency
-            # (`ops/pallas_attention_layer.py`); output dropout is inactive
-            # on this path (deterministic, and the reference's attention
-            # dropout is 0.0 in every config — tools.py:93).
+            # (`ops/pallas_attention_layer.py`), with a recompute-through-
+            # XLA VJP so training may take it too.  Gate: probs-free (vis
+            # falls back) and attention dropout inactive — at drop_rate 0
+            # (every reference config, tools.py:93) neither this module
+            # nor its nn.Dropout draws an rng, so the kernel path
+            # consumes the identical dropout stream as the einsum path.
             from vit3d_ensemble_tpu.ops.pallas_attention_layer import (
                 fused_attention_layer,
             )

@@ -53,9 +53,10 @@ def set_default_attention_impl(impl: str) -> None:
 
     'layer' is the whole-sublayer fused kernel (QKV -> softmax -> out in
     one VMEM residency, `ops/pallas_attention_layer.py`); it dispatches in
-    `models/vit3d.Attention` (the sublayer owns the projection weights) and
-    only on the deterministic, probs-free path — anywhere else it degrades
-    to the einsum formulation below.
+    `models/vit3d.Attention` (the sublayer owns the projection weights) on
+    probs-free paths with attention dropout inactive — training included
+    (recompute-through-XLA VJP); vis mode degrades to the einsum
+    formulation below.
     """
     global _DEFAULT_IMPL
     if impl not in ("auto", "xla", "vpu", "pallas", "layer"):
@@ -125,7 +126,7 @@ def dot_product_attention(
     impl = impl or _DEFAULT_IMPL
     if impl == "layer":
         # the fused sublayer kernel was not applicable at the call site
-        # (training / vis mode); its math degrades to the einsum path
+        # (vis mode / active attention dropout); degrade to einsum
         impl = "xla"
     if impl == "auto":
         # Measured (v5e, B=512, bf16, 18-model bench, 2026-08-16): at the

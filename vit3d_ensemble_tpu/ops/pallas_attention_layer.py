@@ -28,10 +28,14 @@ whose collapsed sublane dim (65 tokens) is not tile-aligned (verified:
 so the kernel only lane-slices q and sublane-slices k^T/v^T — the access
 patterns the round-2 tiny kernel already proved on this toolchain.
 
-Inference-only (no VJP): the reference's attention dropout is 0.0 in
-every config (`tools.py:93`), probs are not materialized (vis mode falls
-back), and training keeps the einsum path.  Dispatch: attention impl
-'layer' (`models/vit3d.Attention`), deterministic probs-free paths only.
+Training path: a custom VJP whose backward recomputes through the XLA
+einsum formulation (the same recompute-through-XLA contract as
+`ops/pallas_mlp.fused_mlp`) — fused forward, exact gradients, so the
+kernel drops into the sequential trainers unchanged.  The kernel itself
+has no dropout (the reference's attention dropout is 0.0 in every
+config, `tools.py:93`) and never materializes probs (vis mode falls
+back).  Dispatch: attention impl 'layer' (`models/vit3d.Attention`), on
+probs-free paths where attention dropout is inactive.
 """
 
 from __future__ import annotations
@@ -107,6 +111,35 @@ def _attention_core(q: jax.Array, kvT: jax.Array, n_heads: int,
     return oT[:B]
 
 
+def _fused_attention_layer_impl(h, wqkv, bqkv, wout, bout, n_heads):
+    B, T, D = h.shape
+    head_dim = D // n_heads
+    qkv = h @ wqkv + bqkv                                # (B, T, 3D)
+    q = qkv[..., :D]
+    kvT = jnp.swapaxes(qkv[..., D:], 1, 2)               # (B, 2D, T)
+    ctxT = _attention_core(q, kvT, n_heads, head_dim)
+    ctx = jnp.swapaxes(ctxT, 1, 2)                       # (B, T, D)
+    return ctx @ wout + bout
+
+
+def _reference_attention_layer(h, wqkv, bqkv, wout, bout, n_heads):
+    """The identical sublayer math in XLA einsums — the backward pass
+    recomputes through this (and it is what the kernel is tested
+    against)."""
+    B, T, D = h.shape
+    hd = D // n_heads
+    qkv = h @ wqkv + bqkv
+    split = lambda a: a.reshape(B, T, n_heads, hd).transpose(  # noqa: E731
+        0, 2, 1, 3)
+    q, k, v = (split(qkv[..., i * D:(i + 1) * D]) for i in range(3))
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(hd)
+    probs = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, D)
+    return ctx @ wout + bout
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def fused_attention_layer(h: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
                           wout: jax.Array, bout: jax.Array,
                           n_heads: int) -> jax.Array:
@@ -116,12 +149,27 @@ def fused_attention_layer(h: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
     h: (B, T, D) LN-normed tokens; wqkv (D, 3D) / bqkv (3D,) the fused
     q|k|v projection; wout (D, D) / bout (D,).  Returns (B, T, D) — the
     caller adds the residual (`modeling.py:184-188` order).
+
+    Differentiable: the VJP recomputes through the XLA formulation
+    (exact same math), so the kernel's saved residuals are just the
+    inputs — the (B, H, T, T) probs tensor is never stored between
+    passes, mirroring `jax.checkpoint`-style rematerialisation.
     """
-    B, T, D = h.shape
-    head_dim = D // n_heads
-    qkv = h @ wqkv + bqkv                                # (B, T, 3D)
-    q = qkv[..., :D]
-    kvT = jnp.swapaxes(qkv[..., D:], 1, 2)               # (B, 2D, T)
-    ctxT = _attention_core(q, kvT, n_heads, head_dim)
-    ctx = jnp.swapaxes(ctxT, 1, 2)                       # (B, T, D)
-    return ctx @ wout + bout
+    return _fused_attention_layer_impl(h, wqkv, bqkv, wout, bout, n_heads)
+
+
+def _fal_fwd(h, wqkv, bqkv, wout, bout, n_heads):
+    return (_fused_attention_layer_impl(h, wqkv, bqkv, wout, bout,
+                                        n_heads),
+            (h, wqkv, bqkv, wout, bout))
+
+
+def _fal_bwd(n_heads, res, g):
+    h, wqkv, bqkv, wout, bout = res
+    _, vjp = jax.vjp(
+        lambda *a: _reference_attention_layer(*a, n_heads),
+        h, wqkv, bqkv, wout, bout)
+    return vjp(g)
+
+
+fused_attention_layer.defvjp(_fal_fwd, _fal_bwd)
