@@ -51,9 +51,12 @@ def main() -> None:
     set_default_attention_impl(os.environ.get("BENCH_ATTENTION_IMPL",
                                               "auto"))
 
-    B = 512          # volumes per step; all 18 models see every volume.
-    #                  Measured sweep at exact shapes: 128 -> 5390,
-    #                  256 -> 5974, 512 -> 6434, 1024 -> 5759 vol/s.
+    # volumes per step; all 18 models see every volume.  Measured sweep at
+    # exact shapes (einsum attention): 128 -> 5390, 256 -> 5974,
+    # 512 -> 6434, 1024 -> 5759 vol/s.  BENCH_B overrides for re-testing
+    # the batch optimum under the fused layer kernel, whose scores never
+    # touch HBM (the growth term that turned B=1024 negative).
+    B = int(os.environ.get("BENCH_B", "512"))
     rng = np.random.default_rng(0)
     # bfloat16 inference: ~2x the f32 path on v5e (matmuls and HBM traffic
     # both halve); training and parity tests remain f32.
@@ -61,7 +64,7 @@ def main() -> None:
                     .astype(np.float32)).astype(jnp.bfloat16)
 
     iters = 20
-    fwds = []
+    models, plist, fwds = [], [], []
     for conf in range(1, 19):
         cfg = ViTConfig.from_conf(conf)
         model = VisionTransformer3D(cfg, zero_head=True, vis=False)
@@ -74,6 +77,8 @@ def main() -> None:
                               dummy)["params"]
 
         params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), init())
+        models.append(model)
+        plist.append(params)
 
         # all iterations inside one scanned program, each iteration with an
         # input-dependent perturbation: repeated identical dispatches can be
@@ -92,18 +97,43 @@ def main() -> None:
 
         fwds.append((fwd_n, params))
 
-    # warmup (compile) — NOTE: on this remote-device tunnel
-    # block_until_ready does NOT synchronize; a host scalar fetch does.
-    for fwd_n, params in fwds:
-        float(fwd_n(params, x))
+    if os.environ.get("BENCH_FUSED18") == "1":
+        # ALL 18 exact-shape forwards inside ONE scanned program: the
+        # per-iteration perturbation and the (weight-independent) patch
+        # extraction are computed once and CSE'd across models instead of
+        # 18 times, and the device never idles between programs.  Same
+        # math as the 18-program mode.
+        @jax.jit
+        def fwd_all(ps, vols):
+            def body(acc, i):
+                vi = vols * (1.0 + i.astype(vols.dtype) * 1e-6)
+                tot = jnp.bfloat16(0.0)
+                for model, p in zip(models, ps):
+                    tot = tot + jnp.sum(model.apply(
+                        {"params": p}, vi, deterministic=True).logits)
+                return acc + tot, None
 
-    t0 = time.perf_counter()
-    # dispatch all 18 programs before fetching: the fetch is the only true
-    # sync on this tunnel, and a per-program fetch would serialize host
-    # round-trips between models.
-    accs = [fwd_n(params, x) for fwd_n, params in fwds]
-    acc = sum(float(a) for a in accs)       # scalar fetch = true sync
-    dt = time.perf_counter() - t0
+            acc, _ = jax.lax.scan(body, jnp.bfloat16(0.0),
+                                  jnp.arange(iters))
+            return acc
+
+        float(fwd_all(plist, x))            # warmup (compile)
+        t0 = time.perf_counter()
+        acc = float(fwd_all(plist, x))      # scalar fetch = true sync
+        dt = time.perf_counter() - t0
+    else:
+        # warmup (compile) — NOTE: on this remote-device tunnel
+        # block_until_ready does NOT synchronize; a host scalar fetch does.
+        for fwd_n, params in fwds:
+            float(fwd_n(params, x))
+
+        t0 = time.perf_counter()
+        # dispatch all 18 programs before fetching: the fetch is the only
+        # true sync on this tunnel, and a per-program fetch would serialize
+        # host round-trips between models.
+        accs = [fwd_n(params, x) for fwd_n, params in fwds]
+        acc = sum(float(a) for a in accs)   # scalar fetch = true sync
+        dt = time.perf_counter() - t0
 
     volumes_per_sec = B * iters / dt
 

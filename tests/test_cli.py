@@ -329,3 +329,23 @@ def test_cli_ensemble_bootstrap(synth_root, tmp_path):
         *_common(synth_root, out, "fixed_split"),
     ])
     assert val_r == val_e2e and test_r == test_e2e
+
+    # --state_mirror resume survives marker-dir loss (boot_* markers ride
+    # the same mirror mechanism as the CV grid's e2e_* markers)
+    mirror_path = tmp_path / "mirror_boot.jsonl"
+    d.main([
+        "--max_configs", "4", "--num_rep", "2", "--num_epochs", "2",
+        "--resume", "--state_mirror", str(mirror_path),
+        "--workbook", "Ensemble_Boot_e2e",
+        *_common(synth_root, out, "fixed_split"),
+    ])
+    import shutil as _sh
+
+    _sh.rmtree(out / "sweep_state")
+    val_m, test_m = d.main([
+        "--max_configs", "4", "--num_rep", "2", "--num_epochs", "2",
+        "--resume", "--state_mirror", str(mirror_path),
+        "--workbook", "Ensemble_Boot_e2e",
+        *_common(synth_root, out, "fixed_split"),
+    ])
+    assert val_m == val_e2e and test_m == test_e2e

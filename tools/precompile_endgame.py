@@ -16,7 +16,7 @@ from __future__ import annotations
 import time
 
 
-def bench_programs(attn_impl: str) -> None:
+def bench_programs(attn_impl: str, B: int = 512) -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -29,7 +29,7 @@ def bench_programs(attn_impl: str) -> None:
     set_default_mlp_impl("pallas")
     set_default_attention_impl(attn_impl)
 
-    B, iters = 512, 20
+    iters = 20
     x = jax.ShapeDtypeStruct((B, 128, 128, 5, 1), jnp.bfloat16)
     for conf in range(1, 19):
         cfg = ViTConfig.from_conf(conf)
@@ -65,7 +65,7 @@ def bench_programs(attn_impl: str) -> None:
         # cold compiles inside the bench timeout window).
         jax.jit(init).lower().compile()
         jax.jit(fwd_n).lower(params, x).compile()
-        print(f"  bench conf{conf} attn={attn_impl}: "
+        print(f"  bench conf{conf} attn={attn_impl} B={B}: "
               f"{time.perf_counter() - t0:.1f}s", flush=True)
 
 
@@ -109,6 +109,52 @@ def stretch_programs() -> None:
         jax.jit(fwd_n).lower(params, x).compile()
         print(f"  stretch mlp={mlp_impl} attn={attn_impl}: "
               f"{time.perf_counter() - t0:.1f}s", flush=True)
+
+
+def fused18_programs(attn_impl: str, B: int = 512) -> None:
+    """The BENCH_FUSED18=1 mega-program: all 18 exact-shape forwards in
+    one jit (bench.py `fwd_all`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit3d_ensemble_tpu.configs import ViTConfig
+    from vit3d_ensemble_tpu.models import VisionTransformer3D
+    from vit3d_ensemble_tpu.ops.attention import set_default_attention_impl
+    from vit3d_ensemble_tpu.ops.mlp import set_default_mlp_impl
+
+    set_default_mlp_impl("pallas")
+    set_default_attention_impl(attn_impl)
+
+    iters = 20
+    x = jax.ShapeDtypeStruct((B, 128, 128, 5, 1), jnp.bfloat16)
+    models, pshapes = [], []
+    for conf in range(1, 19):
+        cfg = ViTConfig.from_conf(conf)
+        model = VisionTransformer3D(cfg, zero_head=True, vis=False)
+        models.append(model)
+        pshapes.append(jax.eval_shape(
+            lambda m=model, c=cfg: jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16),
+                m.init({"params": jax.random.key(42)},
+                       jnp.zeros((1, c.img_size, c.img_size, c.z_size,
+                                  c.in_channels), jnp.float32))["params"])))
+
+    def fwd_all(ps, vols):
+        def body(acc, i):
+            vi = vols * (1.0 + i.astype(vols.dtype) * 1e-6)
+            tot = jnp.bfloat16(0.0)
+            for model, p in zip(models, ps):
+                tot = tot + jnp.sum(model.apply(
+                    {"params": p}, vi, deterministic=True).logits)
+            return acc + tot, None
+
+        acc, _ = jax.lax.scan(body, jnp.bfloat16(0.0), jnp.arange(iters))
+        return acc
+
+    t0 = time.perf_counter()
+    jax.jit(fwd_all).lower(pshapes, x).compile()
+    print(f"  fused18 attn={attn_impl} B={B}: "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
 
 
 def deviation_programs(n_combos: int = 10) -> None:
@@ -186,6 +232,17 @@ def main() -> None:
     if not only or "deviation" in only:
         print("dropout-deviation sequential training programs", flush=True)
         deviation_programs()
+    if "bench-batches" in only:
+        # batch-optimum re-test under the layer kernel (BENCH_B knob):
+        # opt-in only — 4 x 18 programs of compile
+        for b in (768, 1024):
+            for impl in ("auto", "layer"):
+                print(f"bench programs, attn={impl}, B={b}", flush=True)
+                bench_programs(impl, B=b)
+    if "fused18" in only:
+        for impl in ("auto", "layer"):
+            print(f"fused18 mega-program, attn={impl}", flush=True)
+            fused18_programs(impl)
     print("precompile done", flush=True)
 
 

@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="(grid mode) combinations per vmapped chunk; "
                              "0 sizes chunks from the device-memory "
                              "budget.")
+    parser.add_argument("--state_mirror", default=None, metavar="PATH",
+                        help="(grid mode) durable JSONL mirror of the "
+                             "resume markers; see train_ensemble_cv "
+                             "--state_mirror (sweep/state_mirror.py).")
     parser.add_argument("--random_init_members", action="store_true")
     parser.add_argument("--workbook", default="Ensemble_Bootstrap")
     parser.add_argument("--output_path", default=None)
@@ -225,6 +229,16 @@ def run_end_to_end_grid(args):
     def marker_path(name: str) -> str:
         return os.path.join(state_dir, f"boot_{name}_{fingerprint}.json")
 
+    mirror = getattr(args, "state_mirror", None)
+    if mirror:
+        from vit3d_ensemble_tpu.sweep import state_mirror
+
+        # two-way startup sync, then append per combination (see
+        # cli/train_ensemble_cv.run_end_to_end_grid)
+        if getattr(args, "resume", False):
+            state_mirror.restore(mirror, state_dir)
+        state_mirror.snapshot(state_dir, mirror)
+
     val_results, test_results = {}, {}
     todo = []
     for comb in it_combinations(range(1, args.max_configs),
@@ -266,6 +280,10 @@ def run_end_to_end_grid(args):
         with open(tmp, "w") as fh:
             json.dump({"val": res, "test": test_results[plan.name]}, fh)
         os.replace(tmp, marker_path(plan.name))
+        if mirror:
+            state_mirror.append(
+                mirror, os.path.basename(marker_path(plan.name)),
+                {"val": res, "test": test_results[plan.name]})
 
     run_e2e_grid(
         todo, lambda c: _load_member(args, c), data,

@@ -64,9 +64,11 @@ def snapshot(state_dir: str, mirror_path: str) -> int:
     """Consolidate every marker in `state_dir` into `mirror_path`
     (atomic full rewrite; also folds in mirror-only entries so a snapshot
     never loses markers the directory has already lost).  Returns the
-    number of markers mirrored."""
+    number of markers mirrored.  Covers every driver's markers (e2e_*,
+    boot_*): anything `*.json` in the state dir (in-flight writes end
+    `.json.tmp` and are excluded)."""
     merged = read_mirror(mirror_path)
-    for path in sorted(glob.glob(os.path.join(state_dir, "e2e_*.json"))):
+    for path in sorted(glob.glob(os.path.join(state_dir, "*.json"))):
         blob = _load_marker(path)
         if blob is not None:
             merged[os.path.basename(path)] = blob
