@@ -74,6 +74,13 @@ else
   note "measurement queue exited non-zero; partial logs in $LOGDIR"
 fi
 
+# --- 3b: copy durable result artifacts into the repo ------------------
+for f in Ensemble_CV.csv Ensemble_CV_test.csv; do
+  if [ -f "$OUTPUT_DIR/$f" ]; then
+    cp "$OUTPUT_DIR/$f" "docs/$f" && note "copied $f -> docs/"
+  fi
+done
+
 # --- 4: flagship analysis ---------------------------------------------
 if timeout 300 python tools/analyze_e2e_sweep.py \
      --output_dir "$OUTPUT_DIR" | tee docs/e2e_sweep_analysis.txt; then
