@@ -59,6 +59,10 @@ def main():
     ap.add_argument("--output_dir", default="/root/outputs/full_e2e")
     ap.add_argument("--metric", default="AUROC")
     ap.add_argument("--top", type=int, default=10)
+    ap.add_argument("--out_csv", default="",
+                    help="also write the full ranking as CSV "
+                         "(combo, val median, val rank, test median, "
+                         "test rank)")
     args = ap.parse_args()
 
     val, test, legacy = load_markers(args.output_dir)
@@ -88,6 +92,7 @@ def main():
               f"{median_metric(val[paper], args.metric):.4f} "
               f"(rank {rank_of(val_rank, paper)}/{len(val_rank)})")
 
+    test_rank = []
     if test:
         test_rank = sorted(((n, median_metric(f, args.metric))
                             for n, f in test.items()), key=lambda t: -t[1])
@@ -110,6 +115,18 @@ def main():
             rho = spearmanr(v, t).statistic
             print(f"\nval-vs-test Spearman rho over {len(common)} combos: "
                   f"{rho:.3f}")
+
+    if args.out_csv:
+        trank_pos = {n: i + 1 for i, (n, _) in enumerate(test_rank)}
+        tmed = {n: a for n, a in test_rank}
+        with open(args.out_csv, "w") as f:
+            f.write(f"combo,val_median_{args.metric},val_rank,"
+                    f"test_median_{args.metric},test_rank\n")
+            for i, (n, a) in enumerate(val_rank):
+                tm = f"{tmed[n]:.4f}" if n in tmed else ""
+                tr = trank_pos.get(n, "")
+                f.write(f"{n},{a:.4f},{i + 1},{tm},{tr}\n")
+        print(f"\nfull ranking -> {args.out_csv}")
 
 
 if __name__ == "__main__":

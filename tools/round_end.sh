@@ -83,7 +83,8 @@ done
 
 # --- 4: flagship analysis ---------------------------------------------
 if timeout 300 python tools/analyze_e2e_sweep.py \
-     --output_dir "$OUTPUT_DIR" | tee docs/e2e_sweep_analysis.txt; then
+     --output_dir "$OUTPUT_DIR" --out_csv docs/e2e_sweep_ranking.csv \
+     | tee docs/e2e_sweep_analysis.txt; then
   note "analysis -> docs/e2e_sweep_analysis.txt"
 else
   note "SKIPPED analysis (analyzer failed)"
