@@ -29,11 +29,20 @@ def main():
     ap.add_argument("--epochs", type=int, default=100)
     ap.add_argument("--num_cv", type=int, default=5)
     ap.add_argument("--modes", default="seq,grid")
+    ap.add_argument("--attention_impl", default="auto",
+                    help="A/B the training path's attention impl (e.g. "
+                         "'layer' = the fused sublayer kernel with its "
+                         "recompute-through-XLA VJP) against the einsum "
+                         "default, in both modes")
     args = ap.parse_args()
 
     from vit3d_ensemble_tpu.cli._common import setup_jax_cache
 
     setup_jax_cache()
+
+    from vit3d_ensemble_tpu.ops.attention import set_default_attention_impl
+
+    set_default_attention_impl(args.attention_impl)
 
     import os
 
@@ -74,7 +83,8 @@ def main():
             per_combo.append(time.perf_counter() - t0)
         steady = per_combo[1:] or per_combo
         print(json.dumps({
-            "mode": "sequential-padded", "per_combo_s": per_combo,
+            "mode": "sequential-padded", "attn": args.attention_impl,
+            "per_combo_s": per_combo,
             "steady_s_per_combo": round(sum(steady) / len(steady), 2),
             "extrapolated_816_min":
                 round(sum(steady) / len(steady) * 816 / 60, 1)}))
@@ -92,7 +102,8 @@ def main():
                      num_epochs=args.epochs, learning_rate=1e-4, seed=42)
         dt = time.perf_counter() - t0
         print(json.dumps({
-            "mode": "grid", "combos": len(combos),
+            "mode": "grid", "attn": args.attention_impl,
+            "combos": len(combos),
             "total_s": round(dt, 2),
             "s_per_combo": round(dt / len(combos), 2)}))
 
