@@ -60,3 +60,27 @@ def test_ranking_and_rank_of():
     assert [n for n, _ in rank] == ["2_3_4", "1_2_3", "5_9_11"]
     assert analyze.rank_of(rank, "5_9_11") == 3
     assert analyze.rank_of(rank, "9_9_9") is None
+
+
+def test_out_csv_full_ranking(tmp_path, monkeypatch, capsys):
+    """--out_csv writes one row per combo with val AND (optional) test
+    ranks, in val-rank order."""
+    state = tmp_path / "sweep_state"
+    state.mkdir()
+    (state / "e2e_1_2_3_5cv_100ep_4b_0.0001lr_42s_grid.json").write_text(
+        json.dumps({"combo": [1, 2, 3], "val": _folds([0.6, 0.7, 0.8]),
+                    "test": _folds([0.5, 0.55, 0.65])}))
+    (state / "e2e_2_3_4_5cv_100ep_4b_0.0001lr_42s_grid.json").write_text(
+        json.dumps({"combo": [2, 3, 4], "val": _folds([0.9, 0.9, 0.9]),
+                    "test": None}))
+    out_csv = tmp_path / "ranking.csv"
+    monkeypatch.setattr(
+        "sys.argv",
+        ["analyze", "--output_dir", str(tmp_path),
+         "--out_csv", str(out_csv)])
+    analyze.main()
+    lines = out_csv.read_text().strip().split("\n")
+    assert lines[0] == ("combo,val_median_AUROC,val_rank,"
+                       "test_median_AUROC,test_rank")
+    assert lines[1].startswith("2_3_4,0.9000,1,,")     # no test metrics
+    assert lines[2] == "1_2_3,0.7000,2,0.5500,1"
