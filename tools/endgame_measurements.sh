@@ -1,28 +1,28 @@
 #!/usr/bin/env bash
 # End-of-round measurement queue — run ONLY on a quiet chip (kill the
-# sweep supervisor BY PID first).  Each step is timeout-bounded so one
-# hung RPC cannot eat the remaining round time.
+# sweep supervisor BY PID first; `tools/round_end.sh` does all of this).
+# Each step is timeout-bounded so one hung RPC cannot eat the remaining
+# round time; steps are ordered cheapest-first so an outage late in the
+# queue costs the least information.
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:/root/.axon_site
 LOGDIR=${LOGDIR:-/tmp/endgame}
 mkdir -p "$LOGDIR"
 
-echo "=== 1/4 headline bench, current default impl ==="
+echo "=== 1/6 headline bench, current default impl ==="
 timeout 900 python bench.py 2>&1 | tee "$LOGDIR/bench_default.log" | tail -1
 
-echo "=== 2/4 headline bench, fused-layer attention ==="
+echo "=== 2/6 headline bench, fused-layer attention ==="
 BENCH_ATTENTION_IMPL=layer timeout 1500 python bench.py 2>&1 \
   | tee "$LOGDIR/bench_layer.log" | tail -1
 
-echo "=== 2a/4 fused 18-model mega-program (one jit, CSE'd patchify) ==="
+echo "=== 3/6 fused 18-model mega-program + batch-optimum sweep ==="
 for impl in auto layer; do
   echo "--- fused18 impl=$impl ---"
   BENCH_FUSED18=1 BENCH_ATTENTION_IMPL=$impl timeout 900 python bench.py \
     2>&1 | tee -a "$LOGDIR/bench_fused18.log" | tail -1
 done
-
-echo "=== 2b/4 batch-optimum sweep (einsum vs fused-layer attention) ==="
 # the measured B=512 optimum was set with scores/probs in HBM (growth
 # term); the layer kernel removes it, so re-test larger batches
 for b in 768 1024; do
@@ -33,11 +33,23 @@ for b in 768 1024; do
   done
 done
 
-echo "=== 3/4 stretch (mlp, attention) impl grid ==="
+echo "=== 4/6 stretch (mlp, attention) impl grid ==="
 timeout 1800 python -u benchmarks/stretch_vitb.py 2>&1 \
   | tee "$LOGDIR/stretch_grid.log" | tail -4
 
-echo "=== 4/4 grid dropout-stream deviation (10 combos x 5 folds) ==="
+echo "=== 5/6 e2e grid TRAINING chunk A/B: einsum vs layer kernel VJP ==="
+# 4 combos x 5 folds x 30 epochs per impl — does the fused sublayer
+# kernel (with its recompute-through-XLA VJP) pay off in the training
+# grid, or does it fail to compile under the double vmap (either answer
+# closes VERDICT #7's grid-chunk question with a measurement)
+for impl in auto layer; do
+  echo "--- grid training impl=$impl ---"
+  timeout 1200 python -u benchmarks/e2e_sweep_timing.py --modes grid \
+    --n_combos 4 --epochs 30 --attention_impl "$impl" 2>&1 \
+    | tee -a "$LOGDIR/grid_train_ab.log" | tail -2
+done
+
+echo "=== 6/6 grid dropout-stream deviation (10 combos x 5 folds) ==="
 # flushes a .partial file after every combo and resumes from it, so the
 # timeout bounds one run, not the result; two bounded passes beat one
 # long one on this tunnel (a hung RPC wastes the whole window otherwise)
