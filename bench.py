@@ -39,13 +39,18 @@ def main() -> None:
     from vit3d_ensemble_tpu.ops.mlp import set_default_mlp_impl
 
     setup_jax_cache()
-    # fused VMEM-resident FFN kernel: the (tokens, mlp_dim) intermediate —
-    # the model's dominant HBM traffic and VPU time — never leaves the chip.
-    set_default_mlp_impl("pallas")
-    # attention impl A/B knob (BENCH_ATTENTION_IMPL=layer|xla|...):
-    # 'layer' is the whole-sublayer fused kernel (ops/pallas_attention_layer)
     import os
 
+    # fused VMEM-resident FFN kernel: the (tokens, mlp_dim) intermediate —
+    # the model's dominant HBM traffic and VPU time — never leaves the
+    # chip.  BENCH_MLP_IMPL=xla overrides — interesting ONLY combined with
+    # BENCH_FUSED18: Mosaic issues MXU and VPU work strictly in order
+    # (the measured serialized matmul+GELU floor), but XLA scheduling 18
+    # independent models in one program may overlap model i's GELU with
+    # model j's matmuls.
+    set_default_mlp_impl(os.environ.get("BENCH_MLP_IMPL", "pallas"))
+    # attention impl A/B knob (BENCH_ATTENTION_IMPL=layer|xla|...):
+    # 'layer' is the whole-sublayer fused kernel (ops/pallas_attention_layer)
     from vit3d_ensemble_tpu.ops.attention import set_default_attention_impl
 
     set_default_attention_impl(os.environ.get("BENCH_ATTENTION_IMPL",

@@ -18,10 +18,16 @@ BENCH_ATTENTION_IMPL=layer timeout 1500 python bench.py 2>&1 \
   | tee "$LOGDIR/bench_layer.log" | tail -1
 
 echo "=== 3/6 fused 18-model mega-program + batch-optimum sweep ==="
-for impl in auto layer; do
-  echo "--- fused18 impl=$impl ---"
-  BENCH_FUSED18=1 BENCH_ATTENTION_IMPL=$impl timeout 900 python bench.py \
-    2>&1 | tee -a "$LOGDIR/bench_fused18.log" | tail -1
+# mlp=xla inside the mega-program is the MXU/VPU-overlap experiment:
+# XLA scheduling 18 independent models may interleave one model's GELU
+# with another's matmuls — the overlap Mosaic's in-order issue forbids
+for attn in auto layer; do
+  for mlp in pallas xla; do
+    echo "--- fused18 attn=$attn mlp=$mlp ---"
+    BENCH_FUSED18=1 BENCH_ATTENTION_IMPL=$attn BENCH_MLP_IMPL=$mlp \
+      timeout 900 python bench.py \
+      2>&1 | tee -a "$LOGDIR/bench_fused18.log" | tail -1
+  done
 done
 # the measured B=512 optimum was set with scores/probs in HBM (growth
 # term); the layer kernel removes it, so re-test larger batches

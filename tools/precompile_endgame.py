@@ -111,9 +111,13 @@ def stretch_programs() -> None:
               f"{time.perf_counter() - t0:.1f}s", flush=True)
 
 
-def fused18_programs(attn_impl: str, B: int = 512) -> None:
+def fused18_programs(attn_impl: str, B: int = 512,
+                     mlp_impl: str = "pallas") -> None:
     """The BENCH_FUSED18=1 mega-program: all 18 exact-shape forwards in
-    one jit (bench.py `fwd_all`)."""
+    one jit (bench.py `fwd_all`).  mlp_impl='xla' is the MXU/VPU-overlap
+    experiment: XLA scheduling 18 independent models may interleave one
+    model's GELU with another's matmuls, which Mosaic's in-order issue
+    forbids inside the fused kernel."""
     import jax
     import jax.numpy as jnp
 
@@ -122,7 +126,7 @@ def fused18_programs(attn_impl: str, B: int = 512) -> None:
     from vit3d_ensemble_tpu.ops.attention import set_default_attention_impl
     from vit3d_ensemble_tpu.ops.mlp import set_default_mlp_impl
 
-    set_default_mlp_impl("pallas")
+    set_default_mlp_impl(mlp_impl)
     set_default_attention_impl(attn_impl)
 
     iters = 20
@@ -153,7 +157,7 @@ def fused18_programs(attn_impl: str, B: int = 512) -> None:
 
     t0 = time.perf_counter()
     jax.jit(fwd_all).lower(pshapes, x).compile()
-    print(f"  fused18 attn={attn_impl} B={B}: "
+    print(f"  fused18 attn={attn_impl} mlp={mlp_impl} B={B}: "
           f"{time.perf_counter() - t0:.1f}s", flush=True)
 
 
@@ -240,9 +244,11 @@ def main() -> None:
                 print(f"bench programs, attn={impl}, B={b}", flush=True)
                 bench_programs(impl, B=b)
     if "fused18" in only:
-        for impl in ("auto", "layer"):
-            print(f"fused18 mega-program, attn={impl}", flush=True)
-            fused18_programs(impl)
+        for attn in ("auto", "layer"):
+            for mlp in ("pallas", "xla"):
+                print(f"fused18 mega-program, attn={attn} mlp={mlp}",
+                      flush=True)
+                fused18_programs(attn, mlp_impl=mlp)
     print("precompile done", flush=True)
 
 
