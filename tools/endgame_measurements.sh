@@ -21,11 +21,13 @@ echo "=== 3/6 fused 18-model mega-program + batch-optimum sweep ==="
 # mlp=xla inside the mega-program is the MXU/VPU-overlap experiment:
 # XLA scheduling 18 independent models may interleave one model's GELU
 # with another's matmuls — the overlap Mosaic's in-order issue forbids
+# layer cells need the smaller kernel block: NB=64 OOMs scoped VMEM
+# inside the mega-program (measured, see pallas_attention_layer.py)
 for attn in auto layer; do
   for mlp in pallas xla; do
     echo "--- fused18 attn=$attn mlp=$mlp ---"
     BENCH_FUSED18=1 BENCH_ATTENTION_IMPL=$attn BENCH_MLP_IMPL=$mlp \
-      timeout 900 python bench.py \
+      VIT3D_ATTN_LAYER_NB=32 timeout 900 python bench.py \
       2>&1 | tee -a "$LOGDIR/bench_fused18.log" | tail -1
   done
 done
@@ -33,8 +35,10 @@ done
 # term); the layer kernel removes it, so re-test larger batches
 for b in 768 1024; do
   for impl in auto layer; do
-    echo "--- B=$b impl=$impl ---"
-    BENCH_B=$b BENCH_ATTENTION_IMPL=$impl timeout 900 python bench.py 2>&1 \
+    nb=64; [ "$b" = "1024" ] && nb=32   # NB=64 OOMs VMEM at B=1024
+    echo "--- B=$b impl=$impl (layer NB=$nb) ---"
+    BENCH_B=$b BENCH_ATTENTION_IMPL=$impl VIT3D_ATTN_LAYER_NB=$nb \
+      timeout 900 python bench.py 2>&1 \
       | tee -a "$LOGDIR/bench_batches.log" | tail -1
   done
 done

@@ -236,19 +236,28 @@ def main() -> None:
     if not only or "deviation" in only:
         print("dropout-deviation sequential training programs", flush=True)
         deviation_programs()
+    import os as _os
+
     if "bench-batches" in only:
         # batch-optimum re-test under the layer kernel (BENCH_B knob):
-        # opt-in only — 4 x 18 programs of compile
+        # opt-in only — 4 x 18 programs of compile.  The layer kernel's
+        # NB=64 block OOMs scoped VMEM at B=1024 (measured) — match the
+        # endgame script's NB=32 there.
         for b in (768, 1024):
+            _os.environ["VIT3D_ATTN_LAYER_NB"] = "32" if b >= 1024 else "64"
             for impl in ("auto", "layer"):
                 print(f"bench programs, attn={impl}, B={b}", flush=True)
                 bench_programs(impl, B=b)
+        _os.environ.pop("VIT3D_ATTN_LAYER_NB", None)
     if "fused18" in only:
+        # inside the mega-program even B=512 needs the smaller block
+        _os.environ["VIT3D_ATTN_LAYER_NB"] = "32"
         for attn in ("auto", "layer"):
             for mlp in ("pallas", "xla"):
                 print(f"fused18 mega-program, attn={attn} mlp={mlp}",
                       flush=True)
                 fused18_programs(attn, mlp_impl=mlp)
+        _os.environ.pop("VIT3D_ATTN_LAYER_NB", None)
     print("precompile done", flush=True)
 
 

@@ -52,7 +52,18 @@ from jax.experimental.pallas import tpu as pltpu
 #: q (64, 65, 64) bf16 0.5 MB + kvT (64, 128, 65) bf16 1 MB + oT
 #: (64, 64, 65) 0.5 MB (each double-buffered) + scores/probs
 #: (64, 65, 65->128 lanes) f32 ~4 MB live — inside the ~16 MB budget.
+#: MEASURED limits (AOT, v5e): NB=64 fits the standalone B<=768 bench
+#: programs but OOMs scoped VMEM at B=1024 (16.59M/16M) and inside the
+#: fused-18 mega-program even at B=512 (20.59M/16M — XLA's surrounding
+#: fusions share the scoped region).  The env override
+#: VIT3D_ATTN_LAYER_NB=32 halves the footprint for those contexts.
 NB_BLOCK = 64
+
+
+def _nb_block() -> int:
+    import os
+
+    return int(os.environ.get("VIT3D_ATTN_LAYER_NB", NB_BLOCK))
 
 
 def _attn_core_kernel(q_ref, kvT_ref, oT_ref, *, n_heads: int,
@@ -85,7 +96,7 @@ def _attention_core(q: jax.Array, kvT: jax.Array, n_heads: int,
     """(B, T, D), (B, 2D, T) -> ctx^T (B, D, T)."""
     B, T, D = q.shape
     scale = 1.0 / math.sqrt(head_dim)
-    nb = min(NB_BLOCK, B)
+    nb = min(_nb_block(), B)
     B_pad = -(-B // nb) * nb
     if B_pad != B:
         q = jnp.pad(q, [(0, B_pad - B), (0, 0), (0, 0)])
