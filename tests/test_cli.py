@@ -349,3 +349,30 @@ def test_cli_ensemble_bootstrap(synth_root, tmp_path):
         *_common(synth_root, out, "fixed_split"),
     ])
     assert val_m == val_e2e and test_m == test_e2e
+
+
+def test_reference_cli_flag_parity():
+    """Every flag the reference scripts declare parses on our drivers —
+    including upstream's alternate spellings and dead flags (--device,
+    --image_size, --max_grad_norm, --num_cv on the fixed-split ensemble,
+    test_cv's --base_path/--ens_path)."""
+    from vit3d_ensemble_tpu.cli import (
+        test_cv as tcv,
+        train_baseline_whole_dataset as bw,
+        train_ensemble_cv as ecv,
+        train_ensemble_whole_dataset as ew,
+    )
+
+    a = ecv.build_parser().parse_args(
+        ["--image_size", "96", "--device", "cuda:0"])
+    assert a.img_size == 96               # --image_size aliases --img_size
+    assert bw.build_parser().parse_args(
+        ["--max_grad_norm", "2.0"]).max_grad_norm == 2.0
+    assert ew.build_parser().parse_args(["--num_cv", "5"]).num_cv == 5
+    a = tcv.build_parser().parse_args(
+        ["--base_path", "/x/cv_baseline_models",
+         "--ens_path", "/y/cv_ensemble_models"])
+    assert tcv._cv_baseline_ckpt(a, 5, "cv1") == \
+        "/x/cv_baseline_models/conf5/cv1.msgpack"
+    assert tcv._cv_ensemble_ckpt(a, "5_9_11", "cv2") == \
+        "/y/cv_ensemble_models/ensemble_5_9_11/cv2.msgpack"

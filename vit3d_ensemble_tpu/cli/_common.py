@@ -57,8 +57,15 @@ def add_common_flags(parser: argparse.ArgumentParser,
                         help="Directory with per-patient image folders "
                              "(the reference hard-codes cwd/dataset, "
                              "create_dataset.py:22).")
-    parser.add_argument("--img_size", default=128, type=int,
-                        help="Resolution size")
+    parser.add_argument("--img_size", "--image_size", default=128, type=int,
+                        help="Resolution size (the reference's ensemble "
+                             "drivers spell this --image_size, "
+                             "train_ensemble_cv.py:238 — both accepted).")
+    parser.add_argument("--device", default=None,
+                        help="Accepted for reference CLI parity and "
+                             "ignored: JAX owns device placement (the "
+                             "reference's torch drivers take cuda/cpu, "
+                             "train_baseline_cv.py:261-262).")
     parser.add_argument("--train_batch_size", default=4, type=int,
                         help="Total batch size for training.")
     parser.add_argument("--eval_batch_size", default=1, type=int,

@@ -89,7 +89,31 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--output_path", default=None,
                         help="Where to write plots (defaults to "
                              "--output_dir).")
+    parser.add_argument("--base_path", default=None,
+                        help="Directory holding the per-fold baseline "
+                             "checkpoints (conf{c}/cv{k}), overriding "
+                             "output_dir/cv_baseline_models — the "
+                             "reference's flag (test_cv.py:252-254).")
+    parser.add_argument("--ens_path", default=None,
+                        help="Directory holding the ensemble checkpoints "
+                             "(ensemble_{a}_{b}_{c}/...), overriding "
+                             "output_dir/cv_ensemble_models — the "
+                             "reference's flag (test_cv.py:255-257).")
     return parser
+
+
+def _cv_baseline_ckpt(args, conf: int, tag: str) -> str:
+    if getattr(args, "base_path", None):
+        return os.path.join(args.base_path, f"conf{conf}",
+                            f"{tag}.msgpack")
+    return baseline_ckpt_path(args.output_dir, "cv_baseline", conf, tag)
+
+
+def _cv_ensemble_ckpt(args, name: str, tag: str) -> str:
+    if getattr(args, "ens_path", None):
+        return os.path.join(args.ens_path, f"ensemble_{name}",
+                            f"{tag}.msgpack")
+    return ensemble_ckpt_path(args.output_dir, "cv_ensemble", name, tag)
 
 
 @functools.lru_cache(maxsize=16)
@@ -162,8 +186,7 @@ def test_baseline(args) -> Dict[str, Dict[str, float]]:
 
     res: Dict[str, Dict[str, float]] = {}
     for cv in range(args.cv):
-        path = baseline_ckpt_path(args.output_dir, "cv_baseline", args.conf,
-                                  f"cv{cv + 1}")
+        path = _cv_baseline_ckpt(args, args.conf, f"cv{cv + 1}")
         params = load_baseline_params(path, cfg)
         test = _fold_test_split(args, cv)
         probs, _ = eval_step(params, jnp.asarray(test.volumes))
@@ -190,12 +213,10 @@ def test_ensemble(args) -> Dict[str, Dict[str, float]]:
     eval_step = make_ensemble_eval_step(model)
 
     res: Dict[str, Dict[str, float]] = {}
-    meta_path = ensemble_ckpt_path(args.output_dir, "cv_ensemble", name,
-                                   "meta_heads")
+    meta_path = _cv_ensemble_ckpt(args, name, "meta_heads")
     for cv in range(args.cv):
         test = _fold_test_split(args, cv)
-        e2e_path = ensemble_ckpt_path(args.output_dir, "cv_ensemble", name,
-                                      f"cv{cv + 1}")
+        e2e_path = _cv_ensemble_ckpt(args, name, f"cv{cv + 1}")
         if os.path.exists(e2e_path):
             # end-to-end checkpoint: full ensemble params
             _, target = init_ensemble(configs, [], seed=0)
@@ -359,8 +380,7 @@ def test_all_ensembles(args):
     have = np.zeros(len(combos), bool)
     for ci, comb in enumerate(combos):
         name = "_".join(str(c) for c in comb)
-        path = ensemble_ckpt_path(args.output_dir, "cv_ensemble", name,
-                                  "meta_heads")
+        path = _cv_ensemble_ckpt(args, name, "meta_heads")
         if not os.path.exists(path):
             continue
         blob = restore_pytree(path, {"combo": np.zeros(K, np.int32),

@@ -35,6 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser()
     add_common_flags(parser, csv_subdir="fixed_split")
     add_baseline_flags(parser, eval_every=31, num_steps=1000)
+    parser.add_argument("--max_grad_norm", type=float, default=1.0,
+                        help="Accepted for reference CLI parity and "
+                             "ignored, matching upstream: the reference "
+                             "declares it (train_baseline_whole_dataset"
+                             ".py:274) but never clips gradients.")
     return parser
 
 

@@ -45,6 +45,12 @@ logger = logging.getLogger("train_ensemble_whole_dataset")
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser()
     add_common_flags(parser, csv_subdir="fixed_split")
+    parser.add_argument("--num_cv", type=int, default=5,
+                        help="Accepted for reference CLI parity and "
+                             "ignored, matching upstream: the reference "
+                             "declares it on this fixed-split driver "
+                             "(train_ensemble_whole_dataset.py) but "
+                             "never loops folds here.")
     parser.add_argument("--ensemble_conf_list", default="5,9,11",
                         help="Comma-separated baseline configs composing "
                              "the ensemble (README best: 5,9,11).")
