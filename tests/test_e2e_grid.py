@@ -198,3 +198,29 @@ def test_grid_mesh_matches_single(setup):
         for fl, m in per_fold.items():
             for k, v in m.items():
                 assert meshed[name][fl][k] == pytest.approx(v, abs=2e-4)
+
+
+def test_program_caches_key_on_op_impls():
+    """Switching the process-default attention impl must NOT reuse
+    programs traced under the previous impl (the jitted closures bake the
+    impl in at first trace)."""
+    from vit3d_ensemble_tpu.configs import ViTConfig
+    from vit3d_ensemble_tpu.ops import attention as att
+    from vit3d_ensemble_tpu.sweep.e2e_grid import _grid_programs
+    from vit3d_ensemble_tpu.train.ensemble_trainer import _ensemble_run_fn
+
+    cfgs = tuple(ViTConfig.from_conf(c, img_size=32) for c in (1, 2, 3))
+    att.set_default_attention_impl("auto")
+    try:
+        grid_auto = _grid_programs(cfgs, 1e-4, False, False)
+        run_auto = _ensemble_run_fn(cfgs, 1e-4, False)
+        att.set_default_attention_impl("layer")
+        grid_layer = _grid_programs(cfgs, 1e-4, False, False)
+        run_layer = _ensemble_run_fn(cfgs, 1e-4, False)
+    finally:
+        att.set_default_attention_impl("auto")
+    assert grid_auto[0] is not grid_layer[0]
+    assert run_auto is not run_layer
+    # same impl twice -> same cached programs
+    assert _grid_programs(cfgs, 1e-4, False, False)[0] is grid_auto[0]
+    assert _ensemble_run_fn(cfgs, 1e-4, False) is run_auto

@@ -204,10 +204,26 @@ def stack_e2e_folds(folds: Sequence[Tuple],
 SEGMENT_EPOCHS = 10
 
 
-@functools.lru_cache(maxsize=None)
 def _grid_programs(sig_cfgs: Tuple[ViTConfig, ...], learning_rate: float,
                    keep_payload: bool, with_test: bool,
                    guarded: bool = True):
+    """Cached program builder — the jitted closures trace whatever op
+    impls are global at first call, so the cache key must include them
+    (otherwise switching `set_default_attention_impl` mid-process would
+    silently reuse stale-impl programs)."""
+    from vit3d_ensemble_tpu.ops.attention import get_default_attention_impl
+    from vit3d_ensemble_tpu.ops.mlp import get_default_mlp_impl
+
+    return _grid_programs_cached(
+        sig_cfgs, learning_rate, keep_payload, with_test, guarded,
+        (get_default_attention_impl(), get_default_mlp_impl()))
+
+
+@functools.lru_cache(maxsize=None)
+def _grid_programs_cached(sig_cfgs: Tuple[ViTConfig, ...],
+                          learning_rate: float, keep_payload: bool,
+                          with_test: bool, guarded: bool,
+                          _impls: Tuple[str, str]):
     """(combo, fold)-vmapped (init, segment, finalize) programs for one
     class signature.  Mirrors `train/ensemble_trainer._ensemble_run_fn`
     (same loss, Adam, eval cadence, selection rule) with three grid

@@ -69,8 +69,21 @@ def init_ensemble(configs: Sequence[ViTConfig],
     return model, params
 
 
-@functools.lru_cache(maxsize=16)
 def _ensemble_run_fn(configs, learning_rate: float, use_masks: bool):
+    """Cached builder — the closure traces whatever op impls are global
+    at first call, so the cache key includes them (same contract as
+    `sweep/e2e_grid._grid_programs`)."""
+    from vit3d_ensemble_tpu.ops.attention import get_default_attention_impl
+    from vit3d_ensemble_tpu.ops.mlp import get_default_mlp_impl
+
+    return _ensemble_run_fn_cached(
+        configs, learning_rate, use_masks,
+        (get_default_attention_impl(), get_default_mlp_impl()))
+
+
+@functools.lru_cache(maxsize=16)
+def _ensemble_run_fn_cached(configs, learning_rate: float, use_masks: bool,
+                            _impls):
     """The jitted whole-run training program for one (config tuple, lr)
     pair: scan(epochs){ scan(steps){adam step}; eval; select } — the
     reference's loop host-dispatches every batch
