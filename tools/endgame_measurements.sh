@@ -62,8 +62,16 @@ done
 echo "=== 6/6 grid dropout-stream deviation (10 combos x 5 folds) ==="
 # flushes a .partial file after every combo and resumes from it, so the
 # timeout bounds one run, not the result; two bounded passes beat one
-# long one on this tunnel (a hung RPC wastes the whole window otherwise)
+# long one on this tunnel (a hung RPC wastes the whole window otherwise).
+# STEP6_CUTOFF_UTC keeps this ~70-min step from overrunning a hard round
+# boundary — partials persist for the next window either way.
+CUTOFF=${STEP6_CUTOFF_UTC:-""}
 for _pass in 1 2; do
+  if [ -n "$CUTOFF" ] && [ "$(date -u +%s)" -ge "$(date -u -d "$CUTOFF" +%s)" ]; then
+    echo "SKIPPED pass $_pass: past STEP6_CUTOFF_UTC=$CUTOFF" \
+      | tee -a "$LOGDIR/dropout_dev.log"
+    break
+  fi
   timeout 3600 python -u benchmarks/grid_dropout_deviation.py \
     --n_combos 10 --out_json docs/grid_dropout_deviation.json \
     2>&1 | tee -a "$LOGDIR/dropout_dev.log" | tail -3
