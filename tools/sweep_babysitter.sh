@@ -53,8 +53,14 @@ while true; do
     [ "$(date -u +%s)" -ge "$deadline_s" ] && break
   done
   note "restarting supervised sweep with --resume"
+  # E2E_CHUNK pins the combination-chunk width: the auto-sizer picked 15
+  # for the small-hidden ((16,16),(16,16),(32,8)) signature and that
+  # chunk deterministically crashed the TPU worker (HBM OOM kills the
+  # worker instead of reporting RESOURCE_EXHAUSTED — 29 identical
+  # crash-resume loops on 2026-08-17); 7 is the proven width.
   LOG=/tmp/full_e2e_r3.log nohup bash tools/supervised_sweep.sh \
     python -u -m vit3d_ensemble_tpu.cli.train_ensemble_cv --resume \
+    --e2e_chunk "${E2E_CHUNK:-7}" \
     --state_mirror /root/repo/docs/sweep_mirror_r4.jsonl \
     --csv_path /root/reference/csv_files/cross_validation \
     --data_root /root/reference/dataset \
