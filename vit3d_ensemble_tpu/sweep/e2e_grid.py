@@ -389,9 +389,18 @@ def _auto_chunk(param_bytes_per_combo: int, n_folds: int,
     # copy (also double-buffered).  run_e2e_grid halves the chunk and
     # retries on compile-time OOM, so this only needs to be a good first
     # guess.
+    #
+    # HARD CAP 9: the state budget scales with PARAM bytes only, so
+    # small-hidden signatures get huge chunks while their ACTIVATION
+    # footprint (eval forwards without remat + backward recompute windows,
+    # ∝ chunk x folds) keeps growing.  Measured 2026-08-17: the
+    # ((16,16),(16,16),(32,8)) signature auto-sized to chunk 15 and
+    # deterministically CRASHED the TPU worker (runtime HBM OOM kills the
+    # worker with no RESOURCE_EXHAUSTED to catch — 29 identical
+    # crash-resume loops); every signature ran stably at chunks 7-9.
     copies = 8 if keep_payload else 6
     per_combo = param_bytes_per_combo * copies * n_folds
-    return int(max(1, min(32, _CHUNK_STATE_BYTES // max(per_combo, 1))))
+    return int(max(1, min(9, _CHUNK_STATE_BYTES // max(per_combo, 1))))
 
 
 def run_e2e_grid(
