@@ -68,6 +68,8 @@ else
 fi
 
 # --- 3: measurement queue ---------------------------------------------
+# keep the hour-long deviation step from overrunning the round boundary
+export STEP6_CUTOFF_UTC=${STEP6_CUTOFF_UTC:-"2026-08-18 02:20"}
 if bash tools/endgame_measurements.sh; then
   note "measurement queue complete; logs in $LOGDIR"
 else
