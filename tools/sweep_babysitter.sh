@@ -58,7 +58,7 @@ while true; do
   # chunk deterministically crashed the TPU worker (HBM OOM kills the
   # worker instead of reporting RESOURCE_EXHAUSTED — 29 identical
   # crash-resume loops on 2026-08-17); 7 is the proven width.
-  LOG=/tmp/full_e2e_r3.log nohup bash tools/supervised_sweep.sh \
+  LOG=/tmp/full_e2e_r3.log STALL_S=420 nohup bash tools/supervised_sweep.sh \
     python -u -m vit3d_ensemble_tpu.cli.train_ensemble_cv --resume \
     --e2e_chunk "${E2E_CHUNK:-7}" \
     --state_mirror /root/repo/docs/sweep_mirror_r4.jsonl \
