@@ -56,11 +56,11 @@ def main() -> None:
     set_default_attention_impl(os.environ.get("BENCH_ATTENTION_IMPL",
                                               "auto"))
 
-    # volumes per step; all 18 models see every volume.  Measured sweep at
-    # exact shapes (einsum attention): 128 -> 5390, 256 -> 5974,
-    # 512 -> 6434, 1024 -> 5759 vol/s.  BENCH_B overrides for re-testing
-    # the batch optimum under the fused layer kernel, whose scores never
-    # touch HBM (the growth term that turned B=1024 negative).
+    # volumes per step; all 18 models see every volume.  Measured at the
+    # current stack (exact shapes, pallas MLP, einsum attention, round 4):
+    # 512 -> 7941, 768 -> 7314, 1024 -> 6882 vol/s — and the fused layer
+    # kernel loses at every batch (3545 at 512), so B=512 is the optimum
+    # with or without attention scores in HBM.  BENCH_B overrides.
     B = int(os.environ.get("BENCH_B", "512"))
     rng = np.random.default_rng(0)
     # bfloat16 inference: ~2x the f32 path on v5e (matmuls and HBM traffic

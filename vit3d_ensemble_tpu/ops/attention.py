@@ -56,7 +56,11 @@ def set_default_attention_impl(impl: str) -> None:
     `models/vit3d.Attention` (the sublayer owns the projection weights) on
     probs-free paths with attention dropout inactive — training included
     (recompute-through-XLA VJP); vis mode degrades to the einsum
-    formulation below.
+    formulation below.  MEASURED (v5e, round 4): it LOSES everywhere —
+    3545 vs 7941 vol/s on the 18-model inference bench and −29% on a
+    grid training chunk — the VPU contraction costs more than the
+    scores/probs HBM traffic it removes; kept as a bounded negative
+    result (docs/RESULTS.md "The performance endgame").
     """
     global _DEFAULT_IMPL
     if impl not in ("auto", "xla", "vpu", "pallas", "layer"):
