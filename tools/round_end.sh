@@ -30,7 +30,10 @@ note() { echo "[round_end $(date -u +%H:%M:%S)] $*"; }
 # --- 0: stop the sweep (supervisor first, then its client child) ------
 if [ -f "$SUP_PIDFILE" ] && kill -0 "$(cat "$SUP_PIDFILE")" 2>/dev/null; then
   SUP=$(cat "$SUP_PIDFILE")
-  CHILD=$(ps -o pid= --ppid "$SUP" | head -1 | tr -d ' ')
+  # the supervisor's children are the python client AND its poll 'sleep'
+  # — filter by command so we never pick the sleep (observed)
+  CHILD=$(ps -o pid=,comm= --ppid "$SUP" | awk '$2 != "sleep" {print $1}' \
+          | head -1)
   note "stopping sweep supervisor $SUP (child ${CHILD:-none})"
   kill "$SUP" 2>/dev/null
   sleep 2
