@@ -164,7 +164,7 @@ def main():
                   f"{res.metrics['AUROC']:.4f} (grid "
                   f"{markers[name][f'CV {cv + 1}']['AUROC']:.4f})",
                   flush=True)
-        os.makedirs(os.path.dirname(partial_path), exist_ok=True)
+        os.makedirs(os.path.dirname(partial_path) or ".", exist_ok=True)
         tmp = partial_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(dict(run_tag=run_tag, sequential=seq), f)

@@ -102,6 +102,30 @@ def test_cli_baseline_bootstrap(synth_root, tmp_path):
     assert (out / "Baseline_Bootstrap.csv").exists()
 
 
+def test_cli_baseline_bootstrap_chunk_invariant(synth_root, tmp_path):
+    """--boot_chunk exists so num_rep=100 fits HBM (25 reps/program
+    measured 20.77G vs the 15.75G budget); results must not depend on it.
+    Per-cell dropout keys are derived from the GLOBAL replicate grid
+    (engine.run_group fold_ids/n_folds_total), so chunked == one-shot."""
+    from vit3d_ensemble_tpu.cli import train_baseline_bootstrap as d
+
+    common = [
+        "--config", "9", "--num_rep", "2", "--num_steps", "4",
+        "--eval_every", "2", "--warmup_steps", "2",
+        "--csv_path", str(synth_root / "csv_files" / "fixed_split"),
+        "--data_root", str(synth_root / "dataset"),
+        "--img_size", "32",
+    ]
+    r1 = d.main(common + ["--boot_chunk", "1",
+                          "--output_dir", str(tmp_path / "c1")])
+    r2 = d.main(common + ["--boot_chunk", "2",
+                          "--output_dir", str(tmp_path / "c2")])
+    assert set(r1["conf9"]) == {"boot0", "boot1"}
+    for b, m in r1["conf9"].items():
+        for k, v in m.items():
+            assert abs(v - r2["conf9"][b][k]) < 1e-6, (b, k)
+
+
 def test_cli_ensemble_pipeline(synth_root, tmp_path):
     """whole-dataset baselines -> frozen ensemble CV -> test_cv, end to end."""
     from vit3d_ensemble_tpu.cli import (

@@ -72,10 +72,15 @@ for _pass in 1 2; do
       | tee -a "$LOGDIR/dropout_dev.log"
     break
   fi
-  timeout 3600 python -u benchmarks/grid_dropout_deviation.py \
-    --n_combos 10 --out_json docs/grid_dropout_deviation.json \
-    2>&1 | tee -a "$LOGDIR/dropout_dev.log" | tail -3
-  [ -f docs/grid_dropout_deviation.json ] && break
+  # break on the benchmark's OWN exit status — the out_json is committed
+  # to the repo, so file existence is always true and would hide a
+  # timed-out pass 1 (ADVICE r4)
+  if (set -o pipefail
+      timeout 3600 python -u benchmarks/grid_dropout_deviation.py \
+        --n_combos 10 --out_json docs/grid_dropout_deviation.json \
+        2>&1 | tee -a "$LOGDIR/dropout_dev.log" | tail -3); then
+    break
+  fi
 done
 
 echo "=== done; logs in $LOGDIR ==="

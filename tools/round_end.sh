@@ -3,26 +3,32 @@
 # chip answers, mirror sweep state into the repo, run the measurement
 # queue, and print the flagship analysis — logging exactly what it
 # skipped if a step fails.  Safe to re-run; every step is idempotent or
-# timeout-bounded.
+# timeout-bounded.  Fully parameterized (no round-specific defaults):
 #
-#   tools/round_end.sh                 # full protocol
-#   RESTART_SWEEP=1 tools/round_end.sh # restart the sweep afterwards
+#   MIRROR=docs/sweep_mirror_boot_r5.jsonl \
+#   OUTPUT_DIR=/root/outputs/full_boot \
+#   MEASURE_SH=tools/round5_measurements.sh tools/round_end.sh
 #
 # Steps:
 #   0  stop the sweep supervisor + client BY PID (never by pattern)
 #   1  chip probe: tiny jitted fetch, retried up to PROBE_MAX_S —
 #      survives the observed TPU-worker outage mode (~55 min; RPCs time
 #      out while jax.devices() still answers)
-#   2  mirror sweep_state -> docs/sweep_mirror_r4.jsonl (reset-durable)
-#   3  tools/endgame_measurements.sh (each sub-step timeout-bounded)
+#   2  mirror sweep_state -> $MIRROR (skipped unless MIRROR is set;
+#      reset-durable)
+#   3  $MEASURE_SH measurement queue (skipped unless set)
 #   4  tools/analyze_e2e_sweep.py -> docs/e2e_sweep_analysis.txt
+#      (ANALYZE=0 to skip)
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:/root/.axon_site
 LOGDIR=${LOGDIR:-/tmp/endgame}
 SUP_PIDFILE=${SUP_PIDFILE:-/tmp/sweep_supervisor.pid}
 OUTPUT_DIR=${OUTPUT_DIR:-/root/outputs/full_e2e}
-MIRROR=${MIRROR:-docs/sweep_mirror_r4.jsonl}
+MIRROR=${MIRROR:-}           # empty -> skip the mirror step
+MEASURE_SH=${MEASURE_SH:-}   # empty -> skip the measurement queue
+ANALYZE=${ANALYZE:-1}
+RESULT_FILES=${RESULT_FILES:-"Ensemble_CV.csv Ensemble_CV_test.csv"}
 PROBE_MAX_S=${PROBE_MAX_S:-4500}
 mkdir -p "$LOGDIR"
 note() { echo "[round_end $(date -u +%H:%M:%S)] $*"; }
@@ -63,49 +69,53 @@ done
 note "chip is quiet and answering"
 
 # --- 2: durable state mirror ------------------------------------------
-if python tools/mirror_sweep_state.py --state_dir "$OUTPUT_DIR/sweep_state" \
-     --mirror "$MIRROR"; then
-  note "sweep state mirrored -> $MIRROR ($(wc -l < "$MIRROR") lines)"
+if [ -n "$MIRROR" ]; then
+  if python tools/mirror_sweep_state.py --state_dir "$OUTPUT_DIR/sweep_state" \
+       --mirror "$MIRROR"; then
+    note "sweep state mirrored -> $MIRROR ($(wc -l < "$MIRROR") lines)"
+  else
+    note "SKIPPED mirror (non-fatal)"
+  fi
 else
-  note "SKIPPED mirror (non-fatal)"
+  note "no MIRROR set — skipping the mirror step"
 fi
 
 # --- 3: measurement queue ---------------------------------------------
-# keep the hour-long deviation step from overrunning the round boundary
-export STEP6_CUTOFF_UTC=${STEP6_CUTOFF_UTC:-"2026-08-18 02:20"}
-if bash tools/endgame_measurements.sh; then
-  note "measurement queue complete; logs in $LOGDIR"
+if [ -n "$MEASURE_SH" ]; then
+  if bash "$MEASURE_SH"; then
+    note "measurement queue complete; logs in $LOGDIR"
+  else
+    note "measurement queue exited non-zero; partial logs in $LOGDIR"
+  fi
 else
-  note "measurement queue exited non-zero; partial logs in $LOGDIR"
+  note "no MEASURE_SH set — skipping the measurement queue"
 fi
 
 # --- 3b: copy durable result artifacts into the repo ------------------
-for f in Ensemble_CV.csv Ensemble_CV_test.csv; do
+for f in $RESULT_FILES; do
   if [ -f "$OUTPUT_DIR/$f" ]; then
     cp "$OUTPUT_DIR/$f" "docs/$f" && note "copied $f -> docs/"
   fi
 done
 
 # --- 4: flagship analysis ---------------------------------------------
-if timeout 300 python tools/analyze_e2e_sweep.py \
-     --output_dir "$OUTPUT_DIR" --out_csv docs/e2e_sweep_ranking.csv \
-     | tee docs/e2e_sweep_analysis.txt; then
-  note "analysis -> docs/e2e_sweep_analysis.txt"
-else
-  note "SKIPPED analysis (analyzer failed)"
+if [ "$ANALYZE" = "1" ]; then
+  if timeout 300 python tools/analyze_e2e_sweep.py \
+       --output_dir "$OUTPUT_DIR" --out_csv docs/e2e_sweep_ranking.csv \
+       | tee docs/e2e_sweep_analysis.txt; then
+    note "analysis -> docs/e2e_sweep_analysis.txt"
+  else
+    note "SKIPPED analysis (analyzer failed)"
+  fi
 fi
 
 # --- optional: restart the sweep --------------------------------------
 if [ "${RESTART_SWEEP:-0}" = "1" ]; then
+  : "${SWEEP_CMD:?RESTART_SWEEP=1 needs SWEEP_CMD (include --resume)}"
   note "restarting the sweep with --resume"
-  export LOG=${LOG:-/tmp/full_e2e_r4.log}
-  nohup bash tools/supervised_sweep.sh \
-    python -u -m vit3d_ensemble_tpu.cli.train_ensemble_cv --resume \
-    --state_mirror "/root/repo/$MIRROR" \
-    --csv_path /root/reference/csv_files/cross_validation \
-    --data_root /root/reference/dataset \
-    --output_dir "$OUTPUT_DIR" \
-    > /dev/null 2>&1 &
+  export LOG=${LOG:-/tmp/supervised_sweep.log}
+  # shellcheck disable=SC2086
+  nohup bash tools/supervised_sweep.sh $SWEEP_CMD > /dev/null 2>&1 &
   echo $! > "$SUP_PIDFILE"
   note "sweep supervisor restarted: pid $(cat "$SUP_PIDFILE")"
 fi

@@ -36,6 +36,16 @@ def build_parser() -> argparse.ArgumentParser:
     add_baseline_flags(parser, eval_every=24, num_steps=100)
     parser.add_argument("--num_rep", type=int, default=100,
                         help="Number of bootstrap replicates.")
+    parser.add_argument("--boot_chunk", type=int, default=25,
+                        help="Replicates per vmapped program.  At the "
+                             "reference's num_rep=100, one program per "
+                             "shape class would hold 600 models x "
+                             "(params + momentum + best) and exceed HBM "
+                             "— the observed failure mode is a worker "
+                             "KILL, not a catchable OOM — so replicates "
+                             "train in chunks; every chunk shares the "
+                             "same 3 compiled programs (identical "
+                             "shapes).")
     return parser
 
 
@@ -52,22 +62,33 @@ def main(argv=None) -> Dict:
     )
 
     hyper = sweep_hyper_from_args(args)
-    pool, reps = build_pooled_bootstrap(
-        os.path.join(args.csv_path, "training.csv"),
-        os.path.join(args.csv_path, "validation.csv"),
-        args.data_root, args.num_rep, size=args.img_size,
-        aug_mode=sweep_aug_mode(args))
-    data = stack_folds(pool, reps, hyper)
-    logger.info("pool: %d unique volumes for %d replicates", len(pool),
-                args.num_rep)
-
     confs = list(range(1, 19)) if args.all_configs else [args.config]
-    raw = run_grouped_baselines(
-        args, data, hyper, ckpt_kind="boot_baseline",
-        fold_label=lambda r: f"boot{r}",
-        fold_tag=lambda conf, r: f"boot{r}",
-        marker_prefix="boot", confs=confs)
-    results = {f"conf{c}": per_rep for c, per_rep in raw.items()}
+    chunk = args.boot_chunk if args.boot_chunk > 0 else args.num_rep
+
+    results: Dict[str, Dict] = {}
+    for s in range(0, args.num_rep, chunk):
+        w = min(chunk, args.num_rep - s)
+        # replicate k resamples with seed k globally (seed0=s keeps the
+        # chunked run seed-identical to one unchunked num_rep pass)
+        pool, reps = build_pooled_bootstrap(
+            os.path.join(args.csv_path, "training.csv"),
+            os.path.join(args.csv_path, "validation.csv"),
+            args.data_root, w, size=args.img_size,
+            aug_mode=sweep_aug_mode(args), seed0=s)
+        data = stack_folds(pool, reps, hyper)
+        logger.info("pool: %d unique volumes for replicates %d..%d",
+                    len(pool), s, s + w - 1)
+        raw = run_grouped_baselines(
+            args, data, hyper, ckpt_kind="boot_baseline",
+            fold_label=lambda r, s=s: f"boot{s + r}",
+            fold_tag=lambda conf, r, s=s: f"boot{s + r}",
+            marker_prefix=f"boot_s{s}", confs=confs,
+            # global replicate ids: per-cell dropout keys come from the
+            # full (config, num_rep) grid, so metrics are invariant to
+            # --boot_chunk (verified chunk-1 == chunk-3 == one-shot)
+            fold_ids=range(s, s + w), n_folds_total=args.num_rep)
+        for c, per_rep in raw.items():
+            results.setdefault(f"conf{c}", {}).update(per_rep)
 
     report = os.path.join(args.output_dir, "Baseline_Bootstrap")
     write_sweep_report(report, results)

@@ -213,17 +213,23 @@ def _grid_programs(sig_cfgs: Tuple[ViTConfig, ...], learning_rate: float,
     silently reuse stale-impl programs)."""
     from vit3d_ensemble_tpu.ops.attention import get_default_attention_impl
     from vit3d_ensemble_tpu.ops.mlp import get_default_mlp_impl
+    from vit3d_ensemble_tpu.ops.pallas_attention_layer import _nb_block
 
+    # _nb_block() joins the key because the layer kernel reads
+    # VIT3D_ATTN_LAYER_NB at trace time: without it, flipping the env var
+    # mid-process would silently reuse programs traced under the old
+    # block size (same stale-program class as the impl knobs).
     return _grid_programs_cached(
         sig_cfgs, learning_rate, keep_payload, with_test, guarded,
-        (get_default_attention_impl(), get_default_mlp_impl()))
+        (get_default_attention_impl(), get_default_mlp_impl(),
+         _nb_block()))
 
 
 @functools.lru_cache(maxsize=None)
 def _grid_programs_cached(sig_cfgs: Tuple[ViTConfig, ...],
                           learning_rate: float, keep_payload: bool,
                           with_test: bool, guarded: bool,
-                          _impls: Tuple[str, str]):
+                          _impls: Tuple[str, str, int]):
     """(combo, fold)-vmapped (init, segment, finalize) programs for one
     class signature.  Mirrors `train/ensemble_trainer._ensemble_run_fn`
     (same loss, Adam, eval cadence, selection rule) with three grid

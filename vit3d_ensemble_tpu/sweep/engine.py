@@ -331,7 +331,7 @@ def _restore_carry(path: str, template_np):
 
 def run_group(group: ConfigGroup, data: FoldData, hyper: SweepHyper,
               img_size: int = 128, mesh=None, state_path=None,
-              resume: bool = False,
+              resume: bool = False, fold_ids=None, n_folds_total=None,
               _abort_after_segments=None) -> GroupResult:
     """Train one group.  With `mesh` (a jax.sharding.Mesh('model', 'data')),
     the stacked params shard over ('model', 'data'), fold arrays over
@@ -366,11 +366,18 @@ def run_group(group: ConfigGroup, data: FoldData, hyper: SweepHyper,
         params = jax.tree.map(
             lambda x: jnp.concatenate(
                 [x, jnp.repeat(x[:1], G_pad - G, axis=0)]), params)
-    # per-cell dropout keys are derived for the TRUE (G, F) grid and only
-    # then padded — splitting over the padded grid would hand every real
-    # cell a different key than the single-device run.
-    keys = jax.random.split(jax.random.key(hyper.seed), G * F)
-    keys = keys.reshape(G, F)
+    # per-cell dropout keys are derived for the TRUE (G, F_total) grid and
+    # only then padded — splitting over the padded grid would hand every
+    # real cell a different key than the single-device run.  `fold_ids` /
+    # `n_folds_total` let a caller train a SLICE of a larger fold axis
+    # (the chunked bootstrap: replicates s..s+w-1 of num_rep) with the
+    # exact keys the unchunked run would use, so results are invariant to
+    # the chunk width; the defaults reproduce the original derivation.
+    F_total = F if n_folds_total is None else int(n_folds_total)
+    keys = jax.random.split(jax.random.key(hyper.seed), G * F_total)
+    keys = keys.reshape(G, F_total)
+    if fold_ids is not None:
+        keys = keys[:, np.asarray(fold_ids, np.int32)]
     if F_pad > F:
         keys = jnp.concatenate(
             [keys, jnp.broadcast_to(keys[:, :1], (G, F_pad - F))], axis=1)
@@ -507,7 +514,8 @@ def sweep_marker_path(state_dir: str, marker_prefix: str,
 def run_grouped_baselines(args, data: FoldData, hyper: SweepHyper,
                           ckpt_kind: str, fold_label, fold_tag,
                           marker_prefix: str,
-                          confs=range(1, 19)) -> Dict:
+                          confs=range(1, 19), fold_ids=None,
+                          n_folds_total=None) -> Dict:
     """The shared 18-config group loop: train each (hidden, heads) shape
     class as one vmapped program, write per-(conf, fold) checkpoints in the
     reference layout, persist per-group result markers (--resume skips
@@ -559,7 +567,9 @@ def run_grouped_baselines(args, data: FoldData, hyper: SweepHyper,
                           + f"_m{mesh_tag}.msgpack")
             res = run_group(group, data, hyper, args.img_size, mesh=mesh,
                             state_path=state_path,
-                            resume=getattr(args, "resume", False))
+                            resume=getattr(args, "resume", False),
+                            fold_ids=fold_ids,
+                            n_folds_total=n_folds_total)
             members = unpad_group_params(res.best_params, group,
                                          args.img_size)
             group_results: Dict[int, Dict[str, Dict[str, float]]] = {}

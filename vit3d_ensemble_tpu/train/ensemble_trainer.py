@@ -75,10 +75,14 @@ def _ensemble_run_fn(configs, learning_rate: float, use_masks: bool):
     `sweep/e2e_grid._grid_programs`)."""
     from vit3d_ensemble_tpu.ops.attention import get_default_attention_impl
     from vit3d_ensemble_tpu.ops.mlp import get_default_mlp_impl
+    from vit3d_ensemble_tpu.ops.pallas_attention_layer import _nb_block
 
+    # _nb_block() in the key for the same reason as the impl strings: the
+    # layer kernel reads VIT3D_ATTN_LAYER_NB at trace time.
     return _ensemble_run_fn_cached(
         configs, learning_rate, use_masks,
-        (get_default_attention_impl(), get_default_mlp_impl()))
+        (get_default_attention_impl(), get_default_mlp_impl(),
+         _nb_block()))
 
 
 @functools.lru_cache(maxsize=16)
