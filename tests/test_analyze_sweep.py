@@ -51,6 +51,36 @@ def test_load_markers_both_schemas(tmp_path):
     assert np.isclose(analyze.median_metric(test["1_2_3"], "AUROC"), 0.55)
 
 
+def test_load_markers_boot_prefix(tmp_path):
+    """The bootstrap grid's markers (prefix boot_) load with
+    --marker_prefix boot, including the early schema without a combo
+    field (name recovered from the filename)."""
+    state = tmp_path / "sweep_state"
+    state.mkdir()
+    (state / "boot_1_2_3_5rep_100ep_4b_0.0001lr_42s_grid.json").write_text(
+        json.dumps({"combo": [1, 2, 3], "val": _folds([0.6, 0.7]),
+                    "test": _folds([0.5, 0.55])}))
+    (state / "boot_4_5_16_5rep_100ep_4b_0.0001lr_42s_grid.json").write_text(
+        json.dumps({"val": _folds([0.9, 0.9]), "test": None}))
+    val, test, legacy = analyze.load_markers(str(tmp_path), "boot")
+    assert set(val) == {"1_2_3", "4_5_16"}
+    assert set(test) == {"1_2_3"}
+    assert legacy == 0
+
+
+def test_rho_with_uncertainty_significant_vs_null():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=60)
+    # strongly correlated pair -> tight CI excluding 0, tiny p
+    rho, lo, hi, p = analyze.rho_with_uncertainty(
+        x, x + 0.1 * rng.normal(size=60), n_boot=500, n_perm=500, seed=2)
+    assert rho > 0.9 and lo > 0.8 and p < 0.01
+    # independent pair -> CI straddles 0, large p
+    rho0, lo0, hi0, p0 = analyze.rho_with_uncertainty(
+        x, rng.normal(size=60), n_boot=500, n_perm=500, seed=2)
+    assert lo0 < 0 < hi0 and p0 > 0.05
+
+
 def test_ranking_and_rank_of():
     val = {"1_2_3": _folds([0.6, 0.7, 0.8]),
            "2_3_4": _folds([0.9, 0.9, 0.9]),
@@ -80,7 +110,13 @@ def test_out_csv_full_ranking(tmp_path, monkeypatch, capsys):
          "--out_csv", str(out_csv)])
     analyze.main()
     lines = out_csv.read_text().strip().split("\n")
-    assert lines[0] == ("combo,val_median_AUROC,val_rank,"
-                       "test_median_AUROC,test_rank")
-    assert lines[1].startswith("2_3_4,0.9000,1,,")     # no test metrics
-    assert lines[2] == "1_2_3,0.7000,2,0.5500,1"
+    assert lines[0] == ("combo,val_median_AUROC,val_p2.5,val_p97.5,"
+                        "val_rank,test_median_AUROC,test_p2.5,test_p97.5,"
+                        "test_rank")
+    assert lines[1].startswith("2_3_4,0.9000,")        # val-rank 1
+    assert lines[1].endswith(",1,,,,")                 # no test metrics
+    cols = lines[2].split(",")
+    assert cols[0] == "1_2_3" and cols[1] == "0.7000"
+    assert cols[4] == "2" and cols[5] == "0.5500" and cols[8] == "1"
+    # the band columns are the reference's 2.5/97.5 percentile idiom
+    assert float(cols[2]) <= 0.7000 <= float(cols[3])

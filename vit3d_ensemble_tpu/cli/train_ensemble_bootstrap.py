@@ -276,14 +276,15 @@ def run_end_to_end_grid(args):
                                        "bootstrap_ensemble", plan.name,
                                        f"bootstrap_{r}"),
                     extras["params"][r])
+        blob = {"combo": [int(c) for c in plan.name.split("_")],
+                "val": res, "test": test_results[plan.name]}
         tmp = marker_path(plan.name) + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"val": res, "test": test_results[plan.name]}, fh)
+            json.dump(blob, fh)
         os.replace(tmp, marker_path(plan.name))
         if mirror:
             state_mirror.append(
-                mirror, os.path.basename(marker_path(plan.name)),
-                {"val": res, "test": test_results[plan.name]})
+                mirror, os.path.basename(marker_path(plan.name)), blob)
 
     run_e2e_grid(
         todo, lambda c: _load_member(args, c), data,
