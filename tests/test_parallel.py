@@ -96,6 +96,88 @@ def test_cli_sweep_with_mesh(mesh8, tmp_path):
             "cv2.msgpack").exists()
 
 
+def test_shard_group_inputs_true_partitioning(mesh8):
+    """Shards must land on all 8 devices AND actually partition — each
+    shard is a 1/8 slice of the global array.  An equality-of-results
+    test would also pass if everything silently replicated (VERDICT r4
+    #5); this one would not.  The volume pool is the designed exception:
+    replicated, so every device must hold the FULL copy."""
+    from vit3d_ensemble_tpu.parallel.mesh import shard_group_inputs
+
+    params = {"w": jnp.zeros((2, 4, 3, 3), jnp.float32)}       # (G, F, ..)
+    keys = jax.random.split(jax.random.key(0), 8).reshape(2, 4)
+    arrays = {"pool": np.zeros((5, 2), np.float32),
+              "val_idx": np.zeros((4, 6), np.int32)}
+    p, k, out = shard_group_inputs(mesh8, params, keys, arrays)
+
+    w_shards = p["w"].addressable_shards
+    assert len({s.device for s in w_shards}) == 8
+    assert all(s.data.shape == (1, 1, 3, 3) for s in w_shards)
+
+    # per-fold arrays: partitioned over 'data' (4 slices), replicated
+    # over 'model' (2 copies of each slice)
+    vi_shards = out["val_idx"].addressable_shards
+    assert len({s.device for s in vi_shards}) == 8
+    assert all(s.data.shape == (1, 6) for s in vi_shards)
+
+    pool_shards = out["pool"].addressable_shards
+    assert len({s.device for s in pool_shards}) == 8
+    assert all(s.data.shape == (5, 2) for s in pool_shards)
+
+
+def test_cli_bootstrap_e2e_grid_with_mesh(mesh8, tmp_path):
+    """`train_ensemble_bootstrap` (default end-to-end grid mode) under
+    --mesh 2x4 matches the single-device run — the (combination,
+    replicate) grid shards like the CV grid's (combination, fold)."""
+    from __graft_entry__ import _synth_dataset
+    from vit3d_ensemble_tpu.cli import train_ensemble_bootstrap as d
+
+    _synth_dataset(str(tmp_path), img=32, num_cv=2, fixed_split=True)
+    common = [
+        "--max_configs", "4", "--combinations", "3", "--num_epochs", "2",
+        "--num_rep", "2", "--random_init_members", "--img_size", "32",
+        "--csv_path", str(tmp_path / "csv_files" / "fixed_split"),
+        "--data_root", str(tmp_path / "dataset"),
+    ]
+    vm, tm = d.main([*common, "--mesh", "2x4",
+                     "--output_dir", str(tmp_path / "out_mesh")])
+    vp, tp_ = d.main([*common, "--output_dir", str(tmp_path / "out_plain")])
+    assert set(vm) == set(vp) == {"1_2_3"} and set(tm) == set(tp_)
+    for rep in vp["1_2_3"]:
+        for k, v in vp["1_2_3"][rep].items():
+            np.testing.assert_allclose(vm["1_2_3"][rep][k], v, rtol=1e-4,
+                                       atol=1e-5, err_msg=("val", rep, k))
+        for k, v in tp_["1_2_3"][rep].items():
+            np.testing.assert_allclose(tm["1_2_3"][rep][k], v, rtol=1e-4,
+                                       atol=1e-5, err_msg=("test", rep, k))
+
+
+def test_cli_frozen_sweep_with_mesh(mesh8, tmp_path):
+    """The frozen screening CLI path (`train_ensemble_cv --frozen
+    --mesh`) — meta-heads on cached member logits — matches single-device."""
+    from __graft_entry__ import _synth_dataset
+    from vit3d_ensemble_tpu.cli import train_ensemble_cv as d
+
+    _synth_dataset(str(tmp_path), img=32, num_cv=2)
+    common = [
+        "--frozen", "--max_configs", "4", "--combinations", "3",
+        "--num_epochs", "2", "--num_cv", "2", "--random_init_members",
+        "--img_size", "32",
+        "--csv_path", str(tmp_path / "csv_files" / "cross_validation"),
+        "--data_root", str(tmp_path / "dataset"),
+    ]
+    rm = d.main([*common, "--mesh", "2x4",
+                 "--output_dir", str(tmp_path / "out_mesh")])
+    rp = d.main([*common, "--output_dir", str(tmp_path / "out_plain")])
+    assert set(rm) == set(rp)
+    for name in rp:
+        for fold in rp[name]:
+            for k, v in rp[name][fold].items():
+                np.testing.assert_allclose(rm[name][fold][k], v, rtol=1e-4,
+                                           atol=1e-5,
+                                           err_msg=(name, fold, k))
+
+
 def test_meta_sweep_sharded_matches_unsharded(mesh8):
     """The frozen ensemble meta-head sweep shards its (combo, fold) grid
     over the mesh and reproduces the single-device results exactly —
