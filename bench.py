@@ -27,6 +27,135 @@ import time
 
 REFERENCE_ALL18_VOLUMES_PER_SEC = 203.0 / 18.0
 
+# Reference serving measurement (torch 2.13 CPU, BASELINE.md): ~20 ms per
+# B=4 inference batch through ONE model — batch 1 is the reference's own
+# eval shape (utils/data_utils_cv.py:49-52, tools.py:38-57).
+REFERENCE_SINGLE_MODEL_B4_MS = 20.0
+
+
+def latency_main() -> None:
+    """BENCH_MODE=latency: serving-path latency (VERDICT r4 #4).
+
+    Clinical shapes: one volume (and small batches 1-8) through (a) one
+    baseline model, (b) the paper's {5,9,11} stacking ensemble, (c) ALL 18
+    grid models.  Warm programs; the number is device program latency,
+    scan-amortized over ITERS strictly sequential iterations (an XLA while
+    loop cannot overlap iterations), because a single dispatch over this
+    remote tunnel measures ~50 ms of RTT, not the program.  The one-shot
+    dispatch+fetch wall is reported separately as `tunnel_roundtrip_ms` so
+    the serial fraction is not hidden.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vit3d_ensemble_tpu.cli._common import setup_jax_cache
+    from vit3d_ensemble_tpu.configs import ViTConfig
+    from vit3d_ensemble_tpu.models import (
+        TransformerEnsemble,
+        VisionTransformer3D,
+    )
+    from vit3d_ensemble_tpu.ops.mlp import set_default_mlp_impl
+
+    import os
+
+    setup_jax_cache()
+    set_default_mlp_impl(os.environ.get("BENCH_MLP_IMPL", "pallas"))
+    iters = int(os.environ.get("BENCH_LATENCY_ITERS", "50"))
+    rng = np.random.default_rng(0)
+
+    def scan_latency_ms(apply_fn, params, x):
+        @jax.jit
+        def fwd_n(p, v):
+            def body(acc, i):
+                vi = v * (1.0 + i.astype(v.dtype) * 1e-6)
+                return acc + jnp.sum(apply_fn(p, vi)), None
+
+            acc, _ = jax.lax.scan(body, jnp.bfloat16(0.0),
+                                  jnp.arange(iters))
+            return acc
+
+        float(fwd_n(params, x))             # compile + warm
+        t0 = time.perf_counter()
+        float(fwd_n(params, x))             # scalar fetch = true sync
+        per_batch = (time.perf_counter() - t0) / iters * 1e3
+
+        @jax.jit
+        def fwd_1(p, v):
+            return jnp.sum(apply_fn(p, v))
+
+        float(fwd_1(params, x))             # compile + warm
+        t0 = time.perf_counter()
+        float(fwd_1(params, x))             # one dispatch + one fetch
+        roundtrip = (time.perf_counter() - t0) * 1e3
+        return per_batch, roundtrip
+
+    def bf16(tree):
+        return jax.tree.map(lambda a: a.astype(jnp.bfloat16), tree)
+
+    results = {}
+    batches = (1, 4, 8)
+    vols = {b: jnp.asarray(rng.normal(size=(b, 128, 128, 5, 1))
+                           .astype(np.float32)).astype(jnp.bfloat16)
+            for b in batches}
+
+    # (a) one baseline model (conf 9 — a paper-default ensemble member)
+    cfg = ViTConfig.from_conf(9)
+    model = VisionTransformer3D(cfg, zero_head=True, vis=False)
+    params = bf16(jax.jit(lambda: model.init(
+        {"params": jax.random.key(42)}, vols[1].astype(jnp.float32)))())
+    for b in batches:
+        ms, rt = scan_latency_ms(
+            lambda p, v: model.apply(p, v, deterministic=True).logits,
+            params, vols[b])
+        results[f"single_model_b{b}_ms"] = round(ms, 3)
+        if b == 1:
+            results["single_model_b1_tunnel_roundtrip_ms"] = round(rt, 1)
+
+    # (b) the paper's {5,9,11} stacking ensemble — the deployed artifact
+    e_cfgs = tuple(ViTConfig.from_conf(c) for c in (5, 9, 11))
+    ensemble = TransformerEnsemble(e_cfgs)
+    e_params = bf16(jax.jit(lambda: ensemble.init(
+        {"params": jax.random.key(0)}, vols[1].astype(jnp.float32)))())
+    for b in batches:
+        ms, rt = scan_latency_ms(
+            lambda p, v: ensemble.apply(p, v, deterministic=True),
+            e_params, vols[b])
+        results[f"ensemble_591l1_b{b}_ms"] = round(ms, 3)
+        if b == 1:
+            results["ensemble_b1_tunnel_roundtrip_ms"] = round(rt, 1)
+
+    # (c) one volume through ALL 18 grid models in one program
+    models, plist = [], []
+    for conf in range(1, 19):
+        c = ViTConfig.from_conf(conf)
+        m = VisionTransformer3D(c, zero_head=True, vis=False)
+        models.append(m)
+        plist.append(bf16(jax.jit(lambda m=m: m.init(
+            {"params": jax.random.key(conf)},
+            vols[1].astype(jnp.float32)))()))
+
+    def all18(ps, v):
+        tot = jnp.bfloat16(0.0)
+        for m, p in zip(models, ps):
+            tot = tot + jnp.sum(m.apply(p, v, deterministic=True).logits)
+        return tot[None]
+
+    for b in batches:
+        ms, rt = scan_latency_ms(lambda ps, v: all18(ps, v), plist, vols[b])
+        results[f"all18_b{b}_ms"] = round(ms, 3)
+        if b == 1:
+            results["all18_b1_tunnel_roundtrip_ms"] = round(rt, 1)
+
+    print(json.dumps({
+        "metric": "serving latency (single-volume, warm programs)",
+        "value": results["single_model_b1_ms"],
+        "unit": "ms/volume (1 model, B=1)",
+        "vs_baseline": round(
+            REFERENCE_SINGLE_MODEL_B4_MS / results["single_model_b4_ms"], 1),
+        **results,
+    }))
+
 
 def main() -> None:
     import jax
@@ -161,4 +290,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import os
+
+    if os.environ.get("BENCH_MODE") == "latency":
+        latency_main()
+    else:
+        main()

@@ -194,7 +194,7 @@ def main():
                grid_median_auroc=grid_rank, seq_median_auroc=seq_rank,
                sequential=seq,
                grid={n: markers[n] for n in take})
-    os.makedirs(os.path.dirname(args.out_json), exist_ok=True)
+    os.makedirs(os.path.dirname(args.out_json) or ".", exist_ok=True)
     with open(args.out_json, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(dict(spearman=rho,

@@ -400,3 +400,39 @@ def test_reference_cli_flag_parity():
         "/x/cv_baseline_models/conf5/cv1.msgpack"
     assert tcv._cv_ensemble_ckpt(a, "5_9_11", "cv2") == \
         "/y/cv_ensemble_models/ensemble_5_9_11/cv2.msgpack"
+
+
+def test_cli_single_combination_cv_and_marker_fallback(synth_root, tmp_path):
+    """Round-5 additions: (a) `train_ensemble_cv --ensemble_conf_list`
+    restricts the CV sweep to ONE combination (the whole-dataset driver's
+    flag honored for single-combination retrains, e.g. to produce the
+    per-fold checkpoints test_cv --ood consumes); (b) `test_cv --ensemble`
+    falls back to the e2e sweep's resume markers when no checkpoint
+    exists (the default 816x5 grid keeps metrics, not ~4080 ckpts)."""
+    from vit3d_ensemble_tpu.cli import (
+        test_cv as tcv,
+        train_ensemble_cv as ens_d,
+    )
+
+    out = tmp_path / "out"
+    res = ens_d.main([
+        "--ensemble_conf_list", "1,3,2", "--num_epochs", "2",
+        "--num_cv", "2", "--random_init_members", "--save_ensembles",
+        *_common(synth_root, out, "cross_validation"),
+    ])
+    # exactly the requested combination, nothing else
+    assert set(res) == {"1_3_2"} and "CV 2" in res["1_3_2"]
+    assert (out / "cv_ensemble_models" / "ensemble_1_3_2" /
+            "cv2.msgpack").exists()
+
+    # (b) markers exist (written by the sweep above), checkpoints don't:
+    # delete them and confirm test_cv --ensemble reads the marker metrics
+    import shutil
+
+    shutil.rmtree(out / "cv_ensemble_models")
+    _, res_ens, _ = tcv.main([
+        "--ensemble", "--ensemble_conf_list", "1,3,2", "--cv", "2",
+        *_common(synth_root, out, "cross_validation"),
+    ])
+    assert res_ens is not None and set(res_ens) == {"CV 1", "CV 2"}
+    assert "AUROC" in res_ens["CV 1"]

@@ -99,11 +99,17 @@ for f in $RESULT_FILES; do
 done
 
 # --- 4: flagship analysis ---------------------------------------------
+# MARKER_PREFIX/ANALYSIS_TAG parameterize which grid is being analyzed
+# (e2e CV vs bootstrap markers) and where its artifacts land, so one
+# round's handoff can never overwrite another grid's committed ranking.
+MARKER_PREFIX=${MARKER_PREFIX:-e2e}
+ANALYSIS_TAG=${ANALYSIS_TAG:-e2e_sweep}
 if [ "$ANALYZE" = "1" ]; then
   if timeout 300 python tools/analyze_e2e_sweep.py \
-       --output_dir "$OUTPUT_DIR" --out_csv docs/e2e_sweep_ranking.csv \
-       | tee docs/e2e_sweep_analysis.txt; then
-    note "analysis -> docs/e2e_sweep_analysis.txt"
+       --output_dir "$OUTPUT_DIR" --marker_prefix "$MARKER_PREFIX" \
+       --out_csv "docs/${ANALYSIS_TAG}_ranking.csv" \
+       | tee "docs/${ANALYSIS_TAG}_analysis.txt"; then
+    note "analysis -> docs/${ANALYSIS_TAG}_analysis.txt"
   else
     note "SKIPPED analysis (analyzer failed)"
   fi

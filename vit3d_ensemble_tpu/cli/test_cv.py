@@ -214,6 +214,21 @@ def test_ensemble(args) -> Dict[str, Dict[str, float]]:
 
     res: Dict[str, Dict[str, float]] = {}
     meta_path = _cv_ensemble_ckpt(args, name, "meta_heads")
+    if (not os.path.exists(meta_path)
+            and not os.path.exists(_cv_ensemble_ckpt(args, name, "cv1"))
+            and not getattr(args, "ood", False)):
+        # No checkpoints: fall back to the e2e grid sweep's resume markers,
+        # which persist held-out-test metrics computed under each fold's
+        # accepted best params (the default 816x5 sweep keeps metrics, not
+        # the ~4080 checkpoints).  Canonical split only — OOD needs params.
+        markers = _e2e_marker_test_results(args)
+        if markers and name in markers:
+            res = {f"CV {cv + 1}": dict(markers[name][f"CV {cv + 1}"])
+                   for cv in range(args.cv)}
+            logger.info("ensemble %s: metrics from e2e sweep markers "
+                        "(no checkpoints on disk)", name)
+            _log_aggregate("Ensemble ViT", res)
+            return res
     for cv in range(args.cv):
         test = _fold_test_split(args, cv)
         e2e_path = _cv_ensemble_ckpt(args, name, f"cv{cv + 1}")

@@ -40,6 +40,7 @@ from vit3d_ensemble_tpu.checkpoint import (
 from vit3d_ensemble_tpu.cli._common import (
     add_common_flags,
     apply_runtime_flags,
+    parse_conf_list,
     setup_logging,
 )
 from vit3d_ensemble_tpu.configs import ViTConfig
@@ -118,6 +119,15 @@ def build_parser() -> argparse.ArgumentParser:
                              "(which destroys --output_dir) can no longer "
                              "zero a multi-hour sweep "
                              "(sweep/state_mirror.py).")
+    parser.add_argument("--ensemble_conf_list", default=None,
+                        help="Train ONLY this combination (e.g. 5,9,11) "
+                             "instead of the full C(max_configs-1, k) grid "
+                             "— the whole-dataset driver's flag "
+                             "(train_ensemble_whole_dataset.py:191-200) "
+                             "honored here for single-combination CV "
+                             "retrains (pairs with --save_ensembles to "
+                             "produce the per-fold checkpoints test_cv "
+                             "--ensemble/--ood consume).")
     parser.add_argument("--random_init_members", action="store_true",
                         help="Use fresh inits for missing baseline ckpts.")
     parser.add_argument("--workbook", default="Ensemble_CV",
@@ -125,6 +135,16 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--output_path", default=None,
                         help="Alias of --output_dir.")
     return parser
+
+
+def _selected_combos(args, default_combos):
+    """--ensemble_conf_list restricts any sweep mode to one combination.
+
+    Passes `default_combos` through UNTOUCHED otherwise: the frozen path
+    hands it an (N, k) ndarray whose .shape train_meta_sweep needs."""
+    if getattr(args, "ensemble_conf_list", None):
+        return [tuple(parse_conf_list(args.ensemble_conf_list))]
+    return default_combos
 
 
 def _load_member(args, conf: int):
@@ -185,7 +205,8 @@ def run_frozen(args) -> Dict[str, Dict[str, Dict[str, float]]]:
         TY[f, :n], TM[f, :n] = ty, 1.0
         VY[f, :vn], VM[f, :vn] = vy, 1.0
 
-    combos = all_combinations(args.max_configs, args.combinations)
+    combos = np.asarray(_selected_combos(
+        args, all_combinations(args.max_configs, args.combinations)))
     conf_index = {c: i for i, c in enumerate(confs)}
     hyper = MetaHyper(num_epochs=args.num_epochs,
                       train_batch_size=args.train_batch_size,
@@ -274,8 +295,9 @@ def run_end_to_end_grid(args) -> Dict[str, Dict[str, Dict[str, float]]]:
     test_results: Dict[str, Dict[str, Dict[str, float]]] = {}
     have_test_csv = os.path.exists(os.path.join(args.csv_path, "test.csv"))
     todo, backfill = [], []
-    for comb in it_combinations(range(1, args.max_configs),
-                                args.combinations):
+    for comb in _selected_combos(
+            args, it_combinations(range(1, args.max_configs),
+                                  args.combinations)):
         name = "_".join(str(c) for c in comb)
         if getattr(args, "resume", False) and os.path.exists(
                 marker_path(name)):
@@ -384,8 +406,9 @@ def run_end_to_end(args) -> Dict[str, Dict[str, Dict[str, float]]]:
     fingerprint = _e2e_fingerprint(args, "")
 
     results: Dict[str, Dict[str, Dict[str, float]]] = {}
-    combos = list(it_combinations(range(1, args.max_configs),
-                                  args.combinations))
+    combos = _selected_combos(
+        args, it_combinations(range(1, args.max_configs),
+                              args.combinations))
     folds = None
     for comb in combos:
         name = "_".join(str(c) for c in comb)

@@ -161,6 +161,16 @@ class Attention(nn.Module):
                                         out_p.bias, H)
             return out, None
 
+        from vit3d_ensemble_tpu.ops.quant import get_default_quant_impl
+
+        # int8 projections (inference lever, `ops/quant.py`): Q/K/V and
+        # the out proj carry ~4x the attention math's FLOPs at the
+        # stretch shapes; the softmax path below stays ambient-dtype.
+        # Strictly `deterministic`: attn dropout is 0.0 in every reference
+        # config, so gating on drop_rate would route TRAINING forwards
+        # through int8 (approximate numerics, round() kills gradients).
+        use_int8 = get_default_quant_impl() == "int8" and deterministic
+
         B, T = x.shape[0], x.shape[1]
         if D <= _FUSED_QKV_MAX_D:
             # Fused QKV: one (D, 3D) matmul.  At the reference's tiny
@@ -171,7 +181,12 @@ class Attention(nn.Module):
                 [p.kernel.reshape(D, D) for p in (q_p, k_p, v_p)], axis=1)
             qkv_bias = jnp.concatenate(
                 [p.bias.reshape(D) for p in (q_p, k_p, v_p)])
-            qkv = x @ qkv_kernel + qkv_bias                  # (B, T, 3D)
+            if use_int8:
+                from vit3d_ensemble_tpu.ops.quant import int8_dense
+
+                qkv = int8_dense(x, qkv_kernel, qkv_bias)    # (B, T, 3D)
+            else:
+                qkv = x @ qkv_kernel + qkv_bias              # (B, T, 3D)
             # (B, T, 3, H, hd) -> (3, B, H, T, hd)
             qkv = qkv.reshape(B, T, 3, H, head_dim).transpose(2, 0, 3, 1, 4)
             q, k, v = qkv[0], qkv[1], qkv[2]
@@ -182,7 +197,13 @@ class Attention(nn.Module):
             # regression on the D=768 stretch model (735 -> 691 vol/s,
             # round 2).  Keep the three projections separate.
             def apply_proj(p):
-                y = x @ p.kernel.reshape(D, D) + p.bias.reshape(D)
+                if use_int8:
+                    from vit3d_ensemble_tpu.ops.quant import int8_dense
+
+                    y = int8_dense(x, p.kernel.reshape(D, D),
+                                   p.bias.reshape(D))
+                else:
+                    y = x @ p.kernel.reshape(D, D) + p.bias.reshape(D)
                 return y.reshape(B, T, H, head_dim).transpose(0, 2, 1, 3)
 
             q, k, v = apply_proj(q_p), apply_proj(k_p), apply_proj(v_p)
@@ -198,7 +219,12 @@ class Attention(nn.Module):
             return_probs=return_probs,
         )
         context = context.transpose(0, 2, 1, 3).reshape(x.shape[:-1] + (D,))
-        out = out_p(context)
+        if use_int8:
+            from vit3d_ensemble_tpu.ops.quant import int8_dense
+
+            out = int8_dense(context, out_p.kernel, out_p.bias)
+        else:
+            out = out_p(context)
         out = nn.Dropout(rate=drop_rate)(out, deterministic=deterministic)
         return out, probs
 
@@ -251,9 +277,21 @@ class Mlp(nn.Module):
                            name="fc2")
 
         from vit3d_ensemble_tpu.ops.mlp import get_default_mlp_impl
+        from vit3d_ensemble_tpu.ops.quant import get_default_quant_impl
 
-        use_fused = (get_default_mlp_impl() == "pallas"
-                     and (deterministic or cfg.dropout_rate == 0.0))
+        dropout_off = deterministic or cfg.dropout_rate == 0.0
+        if (get_default_quant_impl() == "int8" and deterministic
+                and mlp_active is None):
+            # int8 W8A8 fc1/fc2 (`ops/quant.py`) — takes precedence over
+            # the fused kernel when selected; masked-width sweeps keep
+            # the exact paths (quant is a serving-path lever).
+            from vit3d_ensemble_tpu.ops.quant import int8_dense
+
+            h = int8_dense(x, fc1.kernel, fc1.bias)
+            h = nn.gelu(h, approximate=False)
+            return int8_dense(h, fc2.kernel, fc2.bias)
+
+        use_fused = get_default_mlp_impl() == "pallas" and dropout_off
         if use_fused:
             from vit3d_ensemble_tpu.ops.pallas_mlp import fused_mlp
 

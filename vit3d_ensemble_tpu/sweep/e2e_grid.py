@@ -214,15 +214,17 @@ def _grid_programs(sig_cfgs: Tuple[ViTConfig, ...], learning_rate: float,
     from vit3d_ensemble_tpu.ops.attention import get_default_attention_impl
     from vit3d_ensemble_tpu.ops.mlp import get_default_mlp_impl
     from vit3d_ensemble_tpu.ops.pallas_attention_layer import _nb_block
+    from vit3d_ensemble_tpu.ops.quant import get_default_quant_impl
 
     # _nb_block() joins the key because the layer kernel reads
     # VIT3D_ATTN_LAYER_NB at trace time: without it, flipping the env var
     # mid-process would silently reuse programs traced under the old
-    # block size (same stale-program class as the impl knobs).
+    # block size (same stale-program class as the impl knobs).  Ditto the
+    # quant selector (the grid's deterministic eval would take it).
     return _grid_programs_cached(
         sig_cfgs, learning_rate, keep_payload, with_test, guarded,
         (get_default_attention_impl(), get_default_mlp_impl(),
-         _nb_block()))
+         _nb_block(), get_default_quant_impl()))
 
 
 @functools.lru_cache(maxsize=None)

@@ -76,13 +76,14 @@ def _ensemble_run_fn(configs, learning_rate: float, use_masks: bool):
     from vit3d_ensemble_tpu.ops.attention import get_default_attention_impl
     from vit3d_ensemble_tpu.ops.mlp import get_default_mlp_impl
     from vit3d_ensemble_tpu.ops.pallas_attention_layer import _nb_block
+    from vit3d_ensemble_tpu.ops.quant import get_default_quant_impl
 
-    # _nb_block() in the key for the same reason as the impl strings: the
-    # layer kernel reads VIT3D_ATTN_LAYER_NB at trace time.
+    # _nb_block() and the quant selector join the key for the same reason
+    # as the impl strings: the closures trace them at first call.
     return _ensemble_run_fn_cached(
         configs, learning_rate, use_masks,
         (get_default_attention_impl(), get_default_mlp_impl(),
-         _nb_block()))
+         _nb_block(), get_default_quant_impl()))
 
 
 @functools.lru_cache(maxsize=16)
