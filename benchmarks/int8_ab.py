@@ -62,25 +62,26 @@ def _timed_scan_fwd(model, params, x):
     return x.shape[0] * ITERS / dt
 
 
-def _logit_dev(cfg, x):
-    """max |logit(int8) - logit(exact)| on the same inputs (f32 fetch).
+def _logit_dev(cfg, x, impls=("int8",)):
+    """max |logit(quant) - logit(exact)| per impl, same inputs (f32 fetch).
 
     Uses a zero_head=False model (the throughput models run zero_head=True,
     whose logits are identically 0 — a vacuous comparison) in f32 so the
-    number isolates int8 error rather than bf16 rounding."""
+    number isolates quantization error rather than bf16 rounding."""
     model = VisionTransformer3D(cfg, zero_head=False, vis=False)
     xf = x.astype(jnp.float32)
     params = jax.jit(lambda: model.init(
         {"params": jax.random.key(1)}, xf[:1])["params"])()
     logits = {}
-    for impl in ("none", "int8"):
+    for impl in ("none",) + tuple(impls):
         set_default_quant_impl(impl)
         logits[impl] = np.asarray(
             jax.jit(lambda p, v: model.apply(
                 {"params": p}, v, deterministic=True).logits)(params, xf),
             dtype=np.float32)
     set_default_quant_impl("none")
-    return float(np.max(np.abs(logits["int8"] - logits["none"])))
+    return {impl: float(np.max(np.abs(logits[impl] - logits["none"])))
+            for impl in impls}
 
 
 def bench_stretch():
@@ -106,15 +107,17 @@ def bench_stretch():
     out = {}
     for label, mlp_impl, quant in (("bf16_pallas_mlp", "pallas", "none"),
                                    ("bf16_xla_mlp", "xla", "none"),
-                                   ("int8", "xla", "int8")):
+                                   ("int8", "xla", "int8"),
+                                   ("int8_attn_pallas_mlp", "pallas",
+                                    "int8_attn")):
         set_default_mlp_impl(mlp_impl)
         set_default_attention_impl("xla")
         set_default_quant_impl(quant)
         out[label] = round(_timed_scan_fwd(model, params, x), 1)
     set_default_mlp_impl("pallas")
-    dev = _logit_dev(cfg, x[:2])
+    dev = _logit_dev(cfg, x[:2], impls=("int8", "int8_attn"))
     print(json.dumps({"bench": "int8_ab_stretch_vitb_128cubed", "B": B,
-                      "volumes_per_sec": out, "max_logit_dev_int8": dev}))
+                      "volumes_per_sec": out, "max_logit_dev": dev}))
     return out, dev
 
 
@@ -172,7 +175,7 @@ def bench_headline18():
     dev = _logit_dev(ViTConfig.from_conf(9), x[:8])
     print(json.dumps({"bench": "int8_ab_headline18", "B": B,
                       "volumes_per_sec": out,
-                      "max_logit_dev_int8_conf9": dev}))
+                      "max_logit_dev_conf9": dev}))
     return out, dev
 
 

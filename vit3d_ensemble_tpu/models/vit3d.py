@@ -169,7 +169,8 @@ class Attention(nn.Module):
         # Strictly `deterministic`: attn dropout is 0.0 in every reference
         # config, so gating on drop_rate would route TRAINING forwards
         # through int8 (approximate numerics, round() kills gradients).
-        use_int8 = get_default_quant_impl() == "int8" and deterministic
+        use_int8 = (get_default_quant_impl() in ("int8", "int8_attn")
+                    and deterministic)
 
         B, T = x.shape[0], x.shape[1]
         if D <= _FUSED_QKV_MAX_D:

@@ -44,8 +44,13 @@ _EPS = 1e-8
 
 
 def set_default_quant_impl(impl: str) -> None:
+    """'none' | 'int8' (attention projections + MLP) | 'int8_attn'
+    (attention projections only — the MLP keeps the fused Pallas kernel,
+    which the measured stretch A/B shows is worth more than MXU int8
+    doubling at 513 tokens: bf16+pallas 773 vs int8 717 vs bf16+xla
+    666 vol/s, benchmarks/int8_ab.py)."""
     global _DEFAULT_QUANT_IMPL
-    if impl not in ("none", "int8"):
+    if impl not in ("none", "int8", "int8_attn"):
         raise ValueError(f"unknown quant impl: {impl!r}")
     _DEFAULT_QUANT_IMPL = impl
 
