@@ -61,6 +61,9 @@ def latency_main() -> None:
 
     setup_jax_cache()
     set_default_mlp_impl(os.environ.get("BENCH_MLP_IMPL", "pallas"))
+    from vit3d_ensemble_tpu.ops.quant import set_default_quant_impl
+
+    set_default_quant_impl(os.environ.get("BENCH_QUANT_IMPL", "none"))
     iters = int(os.environ.get("BENCH_LATENCY_ITERS", "50"))
     rng = np.random.default_rng(0)
 
@@ -184,6 +187,11 @@ def main() -> None:
 
     set_default_attention_impl(os.environ.get("BENCH_ATTENTION_IMPL",
                                               "auto"))
+    # quant A/B knob (BENCH_QUANT_IMPL=int8|int8_attn): see ops/quant.py
+    # and docs/int8_ab.jsonl for the measured regimes.
+    from vit3d_ensemble_tpu.ops.quant import set_default_quant_impl
+
+    set_default_quant_impl(os.environ.get("BENCH_QUANT_IMPL", "none"))
 
     # volumes per step; all 18 models see every volume.  Measured at the
     # current stack (exact shapes, pallas MLP, einsum attention, round 4):

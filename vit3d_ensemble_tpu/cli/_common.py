@@ -94,6 +94,16 @@ def add_common_flags(parser: argparse.ArgumentParser,
                         help="FFN path: XLA matmuls or the fused Pallas "
                              "MLP kernel (deterministic paths only; ~3x "
                              "at reference widths).")
+    parser.add_argument("--quant_impl",
+                        choices=["none", "int8", "int8_attn"],
+                        default="none",
+                        help="Quantized inference: 'int8' = dynamic W8A8 "
+                             "attention projections + MLP; 'int8_attn' = "
+                             "attention projections only, keeping the "
+                             "fused bf16 Pallas MLP (the measured stretch "
+                             "optimum, docs/int8_ab.jsonl).  Deterministic "
+                             "(eval/serving) forwards only — training "
+                             "math is never quantized (ops/quant.py).")
     parser.add_argument("--profile_dir", default=None,
                         help="Write a Perfetto/XProf device trace of the "
                              "run to this directory.")
@@ -128,8 +138,11 @@ def apply_runtime_flags(args) -> None:
     from vit3d_ensemble_tpu.ops.attention import set_default_attention_impl
     from vit3d_ensemble_tpu.ops.mlp import set_default_mlp_impl
 
+    from vit3d_ensemble_tpu.ops.quant import set_default_quant_impl
+
     set_default_attention_impl(getattr(args, "attention_impl", "auto"))
     set_default_mlp_impl(getattr(args, "mlp_impl", "xla"))
+    set_default_quant_impl(getattr(args, "quant_impl", "none"))
     if getattr(args, "debug_nans", False):
         from vit3d_ensemble_tpu.utils.debug import enable_nan_checking
 
