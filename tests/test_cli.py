@@ -436,3 +436,17 @@ def test_cli_single_combination_cv_and_marker_fallback(synth_root, tmp_path):
     ])
     assert res_ens is not None and set(res_ens) == {"CV 1", "CV 2"}
     assert "AUROC" in res_ens["CV 1"]
+
+
+def test_quant_impl_flag_plumbing():
+    """--quant_impl reaches the process-wide selector via
+    apply_runtime_flags (and resets to 'none' for the next test)."""
+    from vit3d_ensemble_tpu.cli._common import apply_runtime_flags
+    from vit3d_ensemble_tpu.cli.test_cv import build_parser
+    from vit3d_ensemble_tpu.ops.quant import get_default_quant_impl
+
+    args = build_parser().parse_args(["--quant_impl", "int8_attn"])
+    apply_runtime_flags(args)
+    assert get_default_quant_impl() == "int8_attn"
+    apply_runtime_flags(build_parser().parse_args([]))
+    assert get_default_quant_impl() == "none"
