@@ -538,6 +538,14 @@ def _run_e2e_grid(
         lo = 0
         while lo < len(sig_plans):
             batch_plans = sig_plans[lo:lo + csize]
+            # chunk-start line: the stall supervisor watches log mtime, and
+            # a chunk is silent from here until its results land (compile +
+            # train, up to ~10 min for a fresh signature program) — this
+            # line resets the stall clock at each chunk boundary so only a
+            # genuinely hung chunk trips it.
+            logger.info("e2e grid: chunk start %s[%d:%d] of %d",
+                        "_".join(f"{h}.{k}" for h, k in sig), lo,
+                        lo + len(batch_plans), len(sig_plans))
             # Pad the tail chunk to the full csize whenever a csize-wide
             # program exists (or will) for this signature, so every chunk
             # reuses one compiled program — each distinct remainder width
