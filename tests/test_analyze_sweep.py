@@ -92,6 +92,44 @@ def test_ranking_and_rank_of():
     assert analyze.rank_of(rank, "9_9_9") is None
 
 
+def test_compare_csv_cross_protocol(tmp_path, monkeypatch, capsys):
+    """--compare_csv prints rank agreement against a prior grid's ranking
+    CSV (the CV-vs-bootstrap protocol-replicability number)."""
+    state = tmp_path / "sweep_state"
+    state.mkdir()
+    rng = np.random.default_rng(0)
+    combos = [f"{a}_{a + 1}_{a + 2}" for a in range(1, 13)]
+    prior_rows = []
+    for i, name in enumerate(combos):
+        v = 0.5 + 0.04 * i
+        (state / f"boot_{name}_5rep_100ep_4b_0.0001lr_42s_grid.json"
+         ).write_text(json.dumps({
+             "combo": [int(x) for x in name.split("_")],
+             "val": _folds([v - 0.02, v, v + 0.02]),
+             "test": _folds([v - 0.05, v, v + 0.05])}))
+        prior_rows.append(
+            f"{name},{v:.4f},{v - .02:.4f},{v + .02:.4f},{12 - i},"
+            f"{v:.4f},{v - .05:.4f},{v + .05:.4f},{12 - i}")
+    prior = tmp_path / "prior.csv"
+    prior.write_text(
+        "combo,val_median_AUROC,val_p2.5,val_p97.5,val_rank,"
+        "test_median_AUROC,test_p2.5,test_p97.5,test_rank\n"
+        + "\n".join(prior_rows) + "\n")
+    monkeypatch.setattr(
+        "sys.argv",
+        ["analyze", "--output_dir", str(tmp_path), "--marker_prefix",
+         "boot", "--compare_csv", str(prior)])
+    analyze.main()
+    outp = capsys.readouterr().out
+    # identical orderings -> rho=1.000 on both lines
+    assert "cross-protocol val-rank agreement" in outp
+    assert "cross-protocol TEST-rank agreement" in outp
+    for line in outp.splitlines():
+        if "cross-protocol" in line:
+            assert "rho=1.000" in line, line
+    del rng
+
+
 def test_out_csv_full_ranking(tmp_path, monkeypatch, capsys):
     """--out_csv writes one row per combo with val AND (optional) test
     ranks, in val-rank order."""

@@ -118,6 +118,11 @@ def main():
                     help="also write the full ranking as CSV "
                          "(combo, val median + 2.5/97.5 band, val rank, "
                          "test median + band, test rank)")
+    ap.add_argument("--compare_csv", default="",
+                    help="a prior ranking CSV from this tool (e.g. the CV "
+                         "grid's) — prints cross-PROTOCOL rank agreement "
+                         "over the common combos: do 5-fold CV and 5-rep "
+                         "bootstrap select the same ensembles?")
     args = ap.parse_args()
 
     val, test, legacy = load_markers(args.output_dir, args.marker_prefix)
@@ -192,6 +197,40 @@ def main():
                   f"{rho:.3f}, 95% bootstrap CI [{lo:.3f}, {hi:.3f}], "
                   f"permutation p={p:.3f} "
                   f"(10k combo-bootstraps / 10k label shuffles, seed 0)")
+
+    if args.compare_csv and os.path.exists(args.compare_csv):
+        # cross-protocol agreement: this grid's medians vs a prior grid's
+        # (same CSV schema as --out_csv writes).  Both rankings carry
+        # per-cell seed noise ~0.08 AUROC, so low rho is the expected
+        # honest answer — the point is to measure it.
+        import csv as _csv
+
+        prior_v, prior_t = {}, {}
+        with open(args.compare_csv) as f:
+            for row in _csv.DictReader(f):
+                prior_v[row["combo"]] = float(row[f"val_median_{args.metric}"])
+                tcol = row.get(f"test_median_{args.metric}", "")
+                if tcol:
+                    prior_t[row["combo"]] = float(tcol)
+        common = [n for n in val if n in prior_v]
+        if len(common) > 2:
+            a = [median_metric(val[n], args.metric) for n in common]
+            b = [prior_v[n] for n in common]
+            rho, lo, hi, p = rho_with_uncertainty(a, b)
+            print(f"\ncross-protocol val-rank agreement vs "
+                  f"{os.path.basename(args.compare_csv)} over {len(common)} "
+                  f"combos: rho={rho:.3f}, 95% CI [{lo:.3f}, {hi:.3f}], "
+                  f"permutation p={p:.3f}")
+        common_t = [n for n in test if n in prior_t]
+        if len(common_t) > 2:
+            a = [median_metric(test[n], args.metric) for n in common_t]
+            b = [prior_t[n] for n in common_t]
+            rho, lo, hi, p = rho_with_uncertainty(a, b)
+            print(f"cross-protocol TEST-rank agreement over {len(common_t)} "
+                  f"combos: rho={rho:.3f}, 95% CI [{lo:.3f}, {hi:.3f}], "
+                  f"permutation p={p:.3f} (same combos, disjoint "
+                  f"training/eval draws — this is the replicability of the "
+                  f"held-out ranking itself)")
 
     if args.out_csv:
         trank_pos = {n: i + 1 for i, (n, _) in enumerate(test_rank)}

@@ -104,10 +104,18 @@ done
 # round's handoff can never overwrite another grid's committed ranking.
 MARKER_PREFIX=${MARKER_PREFIX:-e2e}
 ANALYSIS_TAG=${ANALYSIS_TAG:-e2e_sweep}
+# a bootstrap grid is the CV grid's protocol replicate: compare rankings
+# against the committed CV ranking unless the caller overrides
+COMPARE_CSV=${COMPARE_CSV:-}
+if [ -z "$COMPARE_CSV" ] && [ "$MARKER_PREFIX" = "boot" ] \
+    && [ -f docs/e2e_sweep_ranking.csv ]; then
+  COMPARE_CSV=docs/e2e_sweep_ranking.csv
+fi
 if [ "$ANALYZE" = "1" ]; then
-  if timeout 300 python tools/analyze_e2e_sweep.py \
+  if timeout 600 python tools/analyze_e2e_sweep.py \
        --output_dir "$OUTPUT_DIR" --marker_prefix "$MARKER_PREFIX" \
        --out_csv "docs/${ANALYSIS_TAG}_ranking.csv" \
+       ${COMPARE_CSV:+--compare_csv "$COMPARE_CSV"} \
        | tee "docs/${ANALYSIS_TAG}_analysis.txt"; then
     note "analysis -> docs/${ANALYSIS_TAG}_analysis.txt"
   else
