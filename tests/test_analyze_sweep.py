@@ -158,3 +158,40 @@ def test_out_csv_full_ranking(tmp_path, monkeypatch, capsys):
     assert cols[4] == "2" and cols[5] == "0.5500" and cols[8] == "1"
     # the band columns are the reference's 2.5/97.5 percentile idiom
     assert float(cols[2]) <= 0.7000 <= float(cols[3])
+
+
+def test_markers_to_workbook(tmp_path, capsys):
+    """tools/markers_to_workbook.py reassembles the reference-format
+    Ensemble_* workbooks from resume markers — the deliverable path for a
+    deadline-stopped sweep (round_end.sh step 3a)."""
+    spec = importlib.util.spec_from_file_location(
+        "markers_to_workbook",
+        os.path.join(REPO, "tools", "markers_to_workbook.py"))
+    m2w = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m2w)
+
+    from vit3d_ensemble_tpu.reporting import REPORT_METRICS
+
+    def full_folds(aurocs):
+        # real markers carry all 11 REPORT_METRICS per replicate
+        return {f"boot{i}": {m: a for m in REPORT_METRICS}
+                for i, a in enumerate(aurocs)}
+
+    state = tmp_path / "sweep_state"
+    state.mkdir()
+    (state / "boot_1_2_3_5rep_100ep_4b_0.0001lr_42s_grid.json").write_text(
+        json.dumps({"combo": [1, 2, 3], "val": full_folds([0.6, 0.7]),
+                    "test": full_folds([0.5, 0.55])}))
+    (state / "boot_4_5_16_5rep_100ep_4b_0.0001lr_42s_grid.json").write_text(
+        json.dumps({"combo": [4, 5, 16], "val": full_folds([0.9, 0.9]),
+                    "test": None}))
+    m2w.main(["--output_dir", str(tmp_path), "--marker_prefix", "boot",
+              "--workbook", "Ensemble_Bootstrap"])
+    val_csv = (tmp_path / "Ensemble_Bootstrap.csv").read_text().splitlines()
+    assert val_csv[0].startswith("Ensemble,Specificity,")
+    names = {row.split(",")[0] for row in val_csv[1:]}
+    assert names == {"1_2_3", "4_5_16"}
+    test_csv = (tmp_path / "Ensemble_Bootstrap_test.csv"
+                ).read_text().splitlines()
+    assert {row.split(",")[0] for row in test_csv[1:]} == {"1_2_3"}
+    assert (tmp_path / "Ensemble_Bootstrap.xlsx").exists()

@@ -91,6 +91,24 @@ else
   note "no MEASURE_SH set — skipping the measurement queue"
 fi
 
+# --- 3a: synthesize workbooks from markers when the driver never wrote
+#     them (deadline-stopped sweep: markers hold every completed
+#     combination's val+test metrics; the workbook write only happens at
+#     the end of a fully completed main()) --------------------------------
+first_result=${RESULT_FILES%% *}
+if [ -n "$first_result" ] && [ ! -f "$OUTPUT_DIR/$first_result" ] \
+    && ls "$OUTPUT_DIR"/sweep_state/${MARKER_PREFIX:-e2e}_*.json \
+         >/dev/null 2>&1; then
+  wb_base=${first_result%.csv}
+  if timeout 300 python tools/markers_to_workbook.py \
+       --output_dir "$OUTPUT_DIR" --marker_prefix "${MARKER_PREFIX:-e2e}" \
+       --workbook "$wb_base"; then
+    note "workbooks synthesized from markers -> $OUTPUT_DIR/$wb_base{,_test}"
+  else
+    note "SKIPPED workbook synthesis (non-fatal)"
+  fi
+fi
+
 # --- 3b: copy durable result artifacts into the repo ------------------
 for f in $RESULT_FILES; do
   if [ -f "$OUTPUT_DIR/$f" ]; then
